@@ -1,0 +1,76 @@
+"""Effective sample size via batched FFT autocorrelation.
+
+ESS is the unit of the framework's headline metric (effective samples/sec,
+BASELINE.json).  Implementation follows Stan/Vehtari et al.: per-chain FFT
+autocovariance, Geyer initial monotone positive sequence truncation, combined
+across chains with between-chain variance — all vectorized over the parameter
+axis so one FFT batch covers every coordinate of the posterior at once (no
+per-parameter Python loop).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _autocovariance_fft(x):
+    """Per-chain autocovariance.  x: (chains, draws).  Returns (chains, draws)."""
+    n = x.shape[-1]
+    x = x - jnp.mean(x, axis=-1, keepdims=True)
+    # zero-pad to the next power of two >= 2n for linear (non-circular) acf
+    m = 1
+    while m < 2 * n:
+        m *= 2
+    f = jnp.fft.rfft(x, n=m, axis=-1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=-1)[..., :n]
+    return acov / n
+
+
+def effective_sample_size(samples) -> jnp.ndarray:
+    """ESS per parameter.
+
+    samples: (num_chains, num_draws) or (num_chains, num_draws, ...) — extra
+    axes are treated as independent parameters; returns ESS with those axes.
+    """
+    samples = jnp.asarray(samples)
+    if samples.ndim == 2:
+        samples = samples[..., None]
+    chains, draws = samples.shape[0], samples.shape[1]
+    param_shape = samples.shape[2:]
+    x = samples.reshape(chains, draws, -1).transpose(2, 0, 1)  # (P, C, N)
+
+    acov = jax.vmap(_autocovariance_fft)(x)                    # (P, C, N)
+    chain_var = acov[..., 0] * draws / (draws - 1.0)           # (P, C)
+    mean_var = jnp.mean(chain_var, axis=-1)                    # W, (P,)
+
+    if chains > 1:
+        chain_means = jnp.mean(x, axis=-1)                     # (P, C)
+        between = draws * jnp.var(chain_means, axis=-1, ddof=1)
+        var_plus = mean_var * (draws - 1.0) / draws + between / draws
+    else:
+        var_plus = mean_var
+
+    mean_acov = jnp.mean(acov, axis=1)                         # (P, N)
+    rho = 1.0 - (mean_var[:, None] - mean_acov) / var_plus[:, None]
+    rho = rho.at[:, 0].set(1.0)
+
+    # Geyer: sum consecutive pairs, keep while positive, enforce monotone.
+    n_pairs = draws // 2
+    paired = rho[:, : 2 * n_pairs].reshape(-1, n_pairs, 2).sum(-1)  # (P, K)
+    # monotone decreasing envelope
+    paired = jax.lax.associative_scan(jnp.minimum, paired, axis=1)
+    positive = paired > 0.0
+    # stop at first non-positive pair
+    keep = jnp.cumprod(positive.astype(jnp.float32), axis=1)
+    tau = -1.0 + 2.0 * jnp.sum(paired * keep, axis=1)
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.float32(draws) + 1.0))
+
+    ess = chains * draws / tau
+    ess = jnp.minimum(ess, jnp.float32(chains * draws) * 1.0)
+    return ess.reshape(param_shape) if param_shape else ess.squeeze()
+
+
+def ess_pytree(positions):
+    """ESS over a posterior pytree with leading (chains, draws) axes."""
+    return jax.tree_util.tree_map(effective_sample_size, positions)

@@ -1,0 +1,107 @@
+"""Hamiltonian Monte Carlo as a pure lax.scan kernel.
+
+Capability parity with /root/reference/hamiltonian/inference/cpu/hmc.py and
+gpu/hmc.py (single source here — the cpu/gpu duplication collapses into one
+XLA program).  Fixes folded in by design (SURVEY.md §2):
+
+- correct velocity-Verlet ordering with ONE grad eval per step
+  (reference loops per-variable and re-evaluates grad per variable, :49-54);
+- dual averaging is actually applied during warmup (reference constructs
+  DualAveragingStepSize but only calls update() once after burn-in, :94-104);
+- jittered trajectory length L ~ ceil(U(0,1) * L_max) reproduces the
+  reference's L = ceil(2*U*path_length/eps) randomization (:46) without
+  host-side control flow;
+- diagonal mass-matrix adaptation (reference: identity only, :17-26).
+
+The kernel signature is (key, state, step_size, inv_mass) -> (state, info):
+step size and mass matrix are *data*, so one compiled program serves warmup,
+sampling, and vmapped multi-chain execution with per-chain step sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.integrators import IntegratorState, trajectory, velocity_verlet
+from ..ops.metrics import diagonal_metric
+from ..ops.tree import tree_where
+
+Params = Any
+
+
+class HMCState(NamedTuple):
+    position: Params
+    logdensity: jnp.ndarray
+    logdensity_grad: Params
+
+
+class HMCInfo(NamedTuple):
+    acceptance_prob: jnp.ndarray
+    is_accepted: jnp.ndarray
+    energy: jnp.ndarray
+    is_divergent: jnp.ndarray
+    num_integration_steps: jnp.ndarray
+
+
+def init(position: Params, logdensity_fn: Callable) -> HMCState:
+    value, grad = jax.value_and_grad(logdensity_fn)(position)
+    return HMCState(position, value, grad)
+
+
+def build_kernel(
+    logdensity_fn: Callable,
+    num_integration_steps: int,
+    jitter_steps: bool = True,
+    divergence_threshold: float = 1000.0,
+):
+    """Returns step(key, state, step_size, inv_mass) -> (state, info).
+
+    With jitter_steps=True the number of leapfrog steps per draw is
+    ceil(U(0,1) * num_integration_steps) — decorrelates trajectories the same
+    way the reference's randomized path length does (cpu/hmc.py:46).
+    """
+
+    def step(key, state: HMCState, step_size, inv_mass):
+        key_mom, key_steps, key_accept = jax.random.split(key, 3)
+        metric = diagonal_metric(inv_mass)
+        integ = velocity_verlet(logdensity_fn, metric.kinetic_grad)
+
+        momentum = metric.sample_momentum(key_mom, state.position)
+        energy0 = -state.logdensity + metric.kinetic_energy(momentum)
+
+        if jitter_steps:
+            u = jax.random.uniform(key_steps)
+            n_steps = jnp.ceil(u * num_integration_steps).astype(jnp.int32)
+            n_steps = jnp.maximum(n_steps, 1)
+        else:
+            n_steps = num_integration_steps
+
+        run = trajectory(integ, n_steps)
+        start = IntegratorState(
+            state.position, momentum, state.logdensity, state.logdensity_grad
+        )
+        end = run(start, step_size)
+
+        energy1 = -end.logdensity + metric.kinetic_energy(end.momentum)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(delta))
+        is_divergent = jnp.abs(delta) > divergence_threshold
+
+        accept = jax.random.uniform(key_accept) < accept_prob
+        proposal = HMCState(end.position, end.logdensity, end.logdensity_grad)
+        new_state = tree_where(accept, proposal, state)
+
+        info = HMCInfo(
+            acceptance_prob=accept_prob,
+            is_accepted=accept,
+            energy=energy1,
+            is_divergent=is_divergent,
+            num_integration_steps=jnp.asarray(n_steps),
+        )
+        return HMCState(*new_state), info
+
+    return step

@@ -1,0 +1,103 @@
+"""High-level sampling driver: warmup + sampling, vmapped over chains.
+
+The TPU replacement for the reference's multiprocessing chain parallelism
+(/root/reference/hamiltonian/inference/cpu/hmc_multicore.py:22-38 — Pool.map
+over pickled sampler copies): chains become a vmapped batch axis inside one
+compiled program, with per-chain PRNG keys from jax.random.split and per-chain
+adapted step sizes / mass matrices.  Sharding the chain axis across devices is
+layered on top in dropout_hamiltonian_montecarlo_tpu/parallel/.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .base import run_inference
+from .warmup import run_warmup
+
+Params = Any
+
+
+class Posterior(NamedTuple):
+    """Stacked draws + diagnostics info.
+
+    positions: pytree with leading axes (num_chains, num_samples, ...)
+    (the reference's posterior dict-of-arrays, generalized to chains).
+    """
+
+    positions: Params
+    infos: Any
+    step_size: jnp.ndarray
+    inv_mass: Params
+    final_state: Any
+
+
+def sample_posterior(
+    init_fn: Callable,          # (position) -> state
+    kernel: Callable,           # (key, state, step_size, inv_mass) -> (state, info)
+    initial_positions: Params,  # pytree with leading chain axis
+    key: jax.Array,
+    num_samples: int,
+    num_warmup: int = 500,
+    num_chains: int = 1,
+    initial_step_size: float = 0.1,
+    target_acceptance: float = 0.8,
+    thin: int = 1,
+) -> Posterior:
+    """Run (warmup -> sampling) for each chain under vmap; one XLA program."""
+
+    def one_chain(chain_key, position):
+        warm_key, sample_key = jax.random.split(chain_key)
+        state = init_fn(position)
+        if num_warmup > 0:
+            warm = run_warmup(
+                kernel, state, warm_key, num_warmup,
+                initial_step_size=initial_step_size,
+                target_acceptance=target_acceptance,
+            )
+            state, step_size, inv_mass = warm.state, warm.step_size, warm.inv_mass
+        else:
+            from ..ops.tree import tree_ones_like
+            step_size = jnp.float32(initial_step_size)
+            inv_mass = tree_ones_like(position)
+
+        def fixed_kernel(k, s):
+            return kernel(k, s, step_size, inv_mass)
+
+        final_state, (states, infos) = run_inference(
+            fixed_kernel, state, sample_key, num_samples, thin=thin
+        )
+        return Posterior(states.position, infos, step_size, inv_mass, final_state)
+
+    # initial_positions must carry a leading chain axis (use stack_chains to
+    # build one); a single chain is just num_chains == 1.
+    keys = jax.random.split(key, num_chains)
+    return jax.vmap(one_chain)(keys, initial_positions)
+
+
+def stack_chains(position: Params, num_chains: int) -> Params:
+    """Tile one position pytree into a leading chain axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (num_chains,) + x.shape), position
+    )
+
+
+def init_chain_positions(init_params_fn: Callable, key: jax.Array,
+                         num_chains: int, jitter: float = 0.0) -> Params:
+    """Draw per-chain initial positions (optionally jittered) from a model's
+    init_params — the reference seeds every worker chain at the same start_p
+    (cpu/hmc_multicore.py:27); overdispersed starts make R-hat meaningful."""
+    keys = jax.random.split(key, num_chains)
+    positions = jax.vmap(init_params_fn)(keys)
+    if jitter > 0.0:
+        jkeys = jax.random.split(jax.random.fold_in(key, 1), num_chains)
+
+        def add_noise(k, p):
+            from ..ops.tree import tree_randn_like, tree_axpy
+            return tree_axpy(jitter, tree_randn_like(k, p), p)
+
+        positions = jax.vmap(add_noise)(jkeys, positions)
+    return positions

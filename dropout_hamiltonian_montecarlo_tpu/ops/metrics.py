@@ -1,0 +1,50 @@
+"""Euclidean metric (mass matrix) for Hamiltonian samplers.
+
+The reference hard-codes a unit diagonal mass matrix
+(/root/reference/hamiltonian/inference/cpu/hmc.py:17-26, kinetic energy
+0.5*||p||^2 at :74-79).  Here the metric is a pytree of per-coordinate inverse
+masses (diagonal metric), adapted during warmup (see adaptation.py) — momentum
+draws, kinetic energy, and kinetic gradient all stay single fused elementwise
+programs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .tree import tree_dot, tree_mul, tree_ones_like, tree_randn_like
+
+Params = Any
+
+
+class Metric(NamedTuple):
+    """Diagonal Euclidean metric: p ~ N(0, M); K(p) = 0.5 p^T M^-1 p."""
+
+    sample_momentum: Callable
+    kinetic_energy: Callable
+    kinetic_grad: Callable
+
+
+def diagonal_metric(inv_mass: Params) -> Metric:
+    """Build a metric from a pytree of diagonal inverse masses (M^-1)."""
+    sqrt_mass = jax.tree_util.tree_map(lambda im: 1.0 / jnp.sqrt(im), inv_mass)
+
+    def sample_momentum(key, position):
+        eps = tree_randn_like(key, position)
+        return tree_mul(sqrt_mass, eps)
+
+    def kinetic_energy(momentum):
+        return 0.5 * tree_dot(momentum, tree_mul(inv_mass, momentum))
+
+    def kinetic_grad(momentum):
+        return tree_mul(inv_mass, momentum)
+
+    return Metric(sample_momentum, kinetic_energy, kinetic_grad)
+
+
+def unit_metric(position_like: Params) -> Metric:
+    """Identity mass matrix (the reference's only option)."""
+    return diagonal_metric(tree_ones_like(position_like))

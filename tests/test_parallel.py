@@ -1,0 +1,113 @@
+"""Sharding tests: sharded chains match vmapped chains; data-parallel
+gradients psum to the full-batch gradient.  Need >=8 devices — run via
+scripts/test_cpu_mesh.sh (simulated CPU mesh, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import requires_multidevice
+
+from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+from dropout_hamiltonian_montecarlo_tpu.inference.sampling import (
+    init_chain_positions,
+    sample_posterior,
+)
+from dropout_hamiltonian_montecarlo_tpu.models import MVNGaussian, Softmax
+from dropout_hamiltonian_montecarlo_tpu.parallel import (
+    make_mesh,
+    sample_posterior_sharded,
+)
+from dropout_hamiltonian_montecarlo_tpu.parallel.data import (
+    make_sharded_logdensity,
+    shard_data,
+)
+from dropout_hamiltonian_montecarlo_tpu.utils import one_hot
+
+MU = jnp.array([1.0, -2.0])
+COV = jnp.array([[2.0, 0.8], [0.8, 1.0]])
+
+
+@requires_multidevice
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["chains"] == 8 and mesh.shape["data"] == 1
+    mesh2 = make_mesh(num_chain_shards=4, num_data_shards=2)
+    assert mesh2.shape["chains"] == 4 and mesh2.shape["data"] == 2
+
+
+@requires_multidevice
+def test_sharded_chains_run_and_mix():
+    model = MVNGaussian(MU, COV)
+    logdensity = model.make_logdensity()
+    kernel = hmc.build_kernel(logdensity, num_integration_steps=8)
+
+    def init_fn(p):
+        return hmc.init(p, logdensity)
+
+    mesh = make_mesh()
+    positions = init_chain_positions(model.init_params, jax.random.key(0), 16,
+                                     jitter=1.0)
+    post = sample_posterior_sharded(
+        init_fn, kernel, positions, jax.random.key(1), mesh,
+        num_samples=500, num_warmup=300, num_chains=16,
+        initial_step_size=0.5,
+    )
+    x = np.asarray(post.positions["x"])
+    assert x.shape == (16, 500, 2)
+    assert np.allclose(x.reshape(-1, 2).mean(0), np.asarray(MU), atol=0.3)
+
+
+@requires_multidevice
+def test_sharded_chains_have_distinct_streams():
+    """Per-shard PRNG folding must give every chain a distinct trajectory."""
+    model = MVNGaussian(MU, COV)
+    logdensity = model.make_logdensity()
+    kernel = hmc.build_kernel(logdensity, num_integration_steps=8)
+    mesh = make_mesh()
+    positions = init_chain_positions(model.init_params, jax.random.key(0), 8,
+                                     jitter=0.0)  # identical starts
+    post = sample_posterior_sharded(
+        lambda p: hmc.init(p, logdensity), kernel, positions,
+        jax.random.key(1), mesh, num_samples=50, num_warmup=50, num_chains=8,
+        initial_step_size=0.5,
+    )
+    x = np.asarray(post.positions["x"])  # (8, 50, 2)
+    finals = x[:, -1, :]
+    assert len({tuple(np.round(f, 6)) for f in finals}) == 8
+
+
+@requires_multidevice
+def test_data_parallel_gradient_matches_full():
+    """psum'd sharded gradient == single-device full-batch gradient."""
+    mesh = make_mesh(num_chain_shards=1, num_data_shards=8)
+    key = jax.random.key(0)
+    n, d, k = 64, 4, 3
+    X = jax.random.normal(key, (n, d))
+    y = one_hot(jax.random.randint(key, (n,), 0, k), k)
+    model = Softmax(dim=d, n_classes=k, alpha=0.5)
+    params = model.init_params(key)
+
+    full_ld = model.make_batched_logdensity(data_size=n)
+    g_full = jax.grad(full_ld)(params, (X, y))
+    v_full = full_ld(params, (X, y))
+
+    sharded_ld = make_sharded_logdensity(model, data_size=n)
+
+    from jax.sharding import PartitionSpec as P
+
+    def shard_fn(params, batch):
+        return jax.value_and_grad(sharded_ld)(params, batch)
+
+    f = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    v_sh, g_sh = f(params, (X, y))
+    assert np.allclose(v_sh, v_full, rtol=1e-5), (v_sh, v_full)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_full)):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
