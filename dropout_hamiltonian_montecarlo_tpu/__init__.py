@@ -10,6 +10,14 @@ Pallas TPU kernels for the fused leapfrog inner loop.
 
 __version__ = "0.1.0"
 
-from . import diagnostics, inference, models, ops, utils
+from . import diagnostics, inference, io, models, ops, utils
 
-__all__ = ["models", "inference", "ops", "utils", "diagnostics", "__version__"]
+__all__ = [
+    "models",
+    "inference",
+    "ops",
+    "utils",
+    "diagnostics",
+    "io",
+    "__version__",
+]

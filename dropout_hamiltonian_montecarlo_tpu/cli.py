@@ -1,0 +1,289 @@
+"""Command-line entry points for the five BASELINE.json workloads.
+
+New capability (SURVEY.md §5: the reference has no CLI/config system —
+hyperparameters live in notebook cells).  One subcommand per workload; every
+run prints a JSON summary line and can write posterior samples (HDF5) and
+checkpoints.
+
+  dhmc-tpu mvn-hmc           config 1: 2D MVN target, single/multi-chain HMC
+  dhmc-tpu logistic-hmc      config 2: Bayesian logistic regression, 32 chains
+  dhmc-tpu mnist-nuts        config 3: MNIST softmax, full-batch NUTS
+  dhmc-tpu mnist-mlp-sgmcmc  config 4: MNIST dropout MLP, SGHMC/SGLD
+  dhmc-tpu plantvillage-smc  config 5: conv-feature classifier, tempered SMC
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _common(p: argparse.ArgumentParser):
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--samples", type=int, default=500)
+    p.add_argument("--warmup", type=int, default=300)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--step-size", type=float, default=0.1)
+    p.add_argument("--save", type=str, default=None,
+                   help="write posterior draws to this HDF5 file")
+
+
+def _save_and_summarize(args, positions, elapsed):
+    import jax
+    import numpy as np
+    from .diagnostics import summarize
+
+    if args.save:
+        from .io import HDF5Backend
+
+        with HDF5Backend(args.save) as b:
+            b.append(jax.tree_util.tree_map(
+                lambda x: np.asarray(x).reshape((-1,) + x.shape[2:]),
+                positions))
+    s = summarize(positions, elapsed_seconds=elapsed)
+    agg = {k: float(v) for k, v in s["aggregate"].items()}
+    return agg
+
+
+def cmd_mvn_hmc(args):
+    import jax
+    import jax.numpy as jnp
+    from .models import MVNGaussian
+    from .inference import hmc, nuts
+    from .inference.sampling import init_chain_positions, sample_posterior
+
+    mu = jnp.zeros(args.dim)
+    a = 0.5 * jnp.ones((args.dim, args.dim))
+    cov = a @ a.T + jnp.eye(args.dim)
+    model = MVNGaussian(mu, cov)
+    logdensity = model.make_logdensity()
+    if args.nuts:
+        kernel = nuts.build_kernel(logdensity)
+        init_fn = lambda p: nuts.init(p, logdensity)
+    else:
+        kernel = hmc.build_kernel(logdensity, args.num_steps)
+        init_fn = lambda p: hmc.init(p, logdensity)
+
+    key = jax.random.key(args.seed)
+    positions = init_chain_positions(model.init_params, key, args.chains,
+                                     jitter=1.0)
+    t0 = time.time()
+    post = sample_posterior(init_fn, kernel, positions, key,
+                            num_samples=args.samples, num_warmup=args.warmup,
+                            num_chains=args.chains,
+                            initial_step_size=args.step_size)
+    jax.block_until_ready(post.positions)
+    agg = _save_and_summarize(args, post.positions, time.time() - t0)
+    agg["workload"] = "mvn-hmc"
+    print(json.dumps(agg))
+
+
+def cmd_logistic_hmc(args):
+    import jax
+    from .models import Logistic
+    from .inference import hmc
+    from .inference.sampling import init_chain_positions, sample_posterior
+    from .io import datasets
+
+    (Xtr, ytr), (Xte, yte) = datasets.blobs(n=args.n_data)
+    model = Logistic(dim=Xtr.shape[1], alpha=args.alpha)
+    logdensity = model.make_logdensity(batch=(Xtr, ytr))
+    kernel = hmc.build_kernel(logdensity, args.num_steps)
+    init_fn = lambda p: hmc.init(p, logdensity)
+
+    key = jax.random.key(args.seed)
+    positions = init_chain_positions(model.init_params, key, args.chains,
+                                     jitter=0.5)
+    t0 = time.time()
+    post = sample_posterior(init_fn, kernel, positions, key,
+                            num_samples=args.samples, num_warmup=args.warmup,
+                            num_chains=args.chains,
+                            initial_step_size=args.step_size)
+    jax.block_until_ready(post.positions)
+    elapsed = time.time() - t0
+
+    import jax.numpy as jnp
+    import numpy as np
+    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=(0, 1)), post.positions)
+    acc = float(jnp.mean((model.predict(pm, Xte) == yte).astype(jnp.float32)))
+    agg = _save_and_summarize(args, post.positions, elapsed)
+    agg.update({"workload": "logistic-hmc", "test_accuracy": acc})
+    print(json.dumps(agg))
+
+
+def cmd_mnist_nuts(args):
+    import jax
+    import jax.numpy as jnp
+    from .models import Softmax
+    from .inference import nuts, hmc
+    from .inference.sampling import init_chain_positions, sample_posterior
+    from .io import datasets
+    from .utils import one_hot
+
+    X, yi = datasets.mnist(args.data)
+    y = one_hot(yi, 10)
+    model = Softmax(dim=X.shape[1], n_classes=10, alpha=args.alpha)
+    logdensity = model.make_logdensity(batch=(X, y))
+    kernel = nuts.build_kernel(logdensity, max_tree_depth=args.max_depth)
+    init_fn = lambda p: nuts.init(p, logdensity)
+
+    key = jax.random.key(args.seed)
+    positions = init_chain_positions(model.init_params, key, args.chains)
+    t0 = time.time()
+    post = sample_posterior(init_fn, kernel, positions, key,
+                            num_samples=args.samples, num_warmup=args.warmup,
+                            num_chains=args.chains,
+                            initial_step_size=args.step_size)
+    jax.block_until_ready(post.positions)
+    elapsed = time.time() - t0
+
+    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=(0, 1)), post.positions)
+    acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
+    agg = _save_and_summarize(args, post.positions, elapsed)
+    agg.update({"workload": "mnist-nuts", "train_accuracy": acc})
+    print(json.dumps(agg))
+
+
+def cmd_mnist_mlp_sgmcmc(args):
+    import jax
+    import jax.numpy as jnp
+    from .models import DropoutMLP
+    from .inference import sgmcmc
+    from .io import datasets
+    from .utils import one_hot
+
+    X, yi = datasets.mnist(args.data)
+    y = one_hot(yi, 10)
+    model = DropoutMLP(dim=X.shape[1], hidden=args.hidden, n_classes=10,
+                       alpha=args.alpha, p_drop=args.p_drop)
+    logdensity = model.make_batched_logdensity(data_size=X.shape[0])
+    if args.algorithm == "sghmc":
+        kernel = sgmcmc.build_sghmc_kernel(logdensity, friction=args.friction)
+        state = sgmcmc.sghmc_init(model.init_params(jax.random.key(args.seed)))
+    else:
+        kernel = sgmcmc.build_sgld_kernel(logdensity)
+        state = sgmcmc.sgld_init(model.init_params(jax.random.key(args.seed)))
+
+    t0 = time.time()
+    _, positions, infos = sgmcmc.run_sgmcmc(
+        kernel, state, jax.random.key(args.seed + 1), (X, y),
+        batch_size=args.batch_size, num_steps=args.num_steps,
+        step_size_schedule=sgmcmc.constant_schedule(args.step_size),
+        collect_every=args.collect_every, burnin_steps=args.burnin_steps,
+    )
+    jax.block_until_ready(positions)
+    elapsed = time.time() - t0
+
+    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=0), positions)
+    acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
+    print(json.dumps({
+        "workload": f"mnist-mlp-{args.algorithm}",
+        "train_accuracy": acc,
+        "elapsed_s": round(elapsed, 2),
+        "steps_per_sec": round(args.num_steps / elapsed, 1),
+    }))
+
+
+def cmd_plantvillage_smc(args):
+    import jax
+    import jax.numpy as jnp
+    from .models import Softmax
+    from .inference import hmc, smc
+    from .io import datasets
+    from .utils import one_hot
+
+    X, yi = datasets.plantvillage_features(args.data, n=args.n_data)
+    k = int(yi.max()) + 1
+    y = one_hot(yi, k)
+    model = Softmax(dim=X.shape[1], n_classes=k, alpha=args.alpha)
+
+    def log_prior(p):
+        return model.log_prior(p)
+
+    def log_lik(p):
+        return model.log_likelihood(p, (X, y))
+
+    key = jax.random.key(args.seed)
+    particles = jax.vmap(model.init_params)(
+        jax.random.split(key, args.particles))
+
+    t0 = time.time()
+    state, info = smc.run_tempered_smc(
+        jax.random.key(args.seed + 1), particles, log_prior, log_lik,
+        kernel_builder=lambda ld: hmc.build_kernel(ld, args.num_steps),
+        init_builder=lambda ld: (lambda p: hmc.init(p, ld)),
+        step_size=args.step_size, num_mcmc_steps=args.mcmc_steps,
+    )
+    jax.block_until_ready(state.particles)
+    elapsed = time.time() - t0
+
+    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=0), state.particles)
+    acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
+    print(json.dumps({
+        "workload": "plantvillage-smc",
+        "train_accuracy": acc,
+        "num_stages": int(info.num_stages),
+        "log_evidence": float(state.log_evidence),
+        "elapsed_s": round(elapsed, 2),
+    }))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="dhmc-tpu",
+        description="TPU-native Bayesian MCMC workloads",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("mvn-hmc");              _common(p)
+    p.add_argument("--dim", type=int, default=2)
+    p.add_argument("--num-steps", type=int, default=16)
+    p.add_argument("--nuts", action="store_true")
+    p.set_defaults(fn=cmd_mvn_hmc)
+
+    p = sub.add_parser("logistic-hmc");         _common(p)
+    p.add_argument("--n-data", type=int, default=1000)
+    p.add_argument("--alpha", type=float, default=0.1)
+    p.add_argument("--num-steps", type=int, default=16)
+    p.set_defaults(fn=cmd_logistic_hmc, chains=32)
+
+    p = sub.add_parser("mnist-nuts");           _common(p)
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--max-depth", type=int, default=8)
+    p.set_defaults(fn=cmd_mnist_nuts)
+
+    p = sub.add_parser("mnist-mlp-sgmcmc")
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--algorithm", choices=["sgld", "sghmc"], default="sghmc")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--p-drop", type=float, default=0.1)
+    p.add_argument("--friction", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--num-steps", type=int, default=2000)
+    p.add_argument("--burnin-steps", type=int, default=500)
+    p.add_argument("--collect-every", type=int, default=10)
+    p.add_argument("--step-size", type=float, default=1e-5)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_mnist_mlp_sgmcmc)
+
+    p = sub.add_parser("plantvillage-smc")
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--n-data", type=int, default=5000)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--particles", type=int, default=128)
+    p.add_argument("--num-steps", type=int, default=8)
+    p.add_argument("--mcmc-steps", type=int, default=3)
+    p.add_argument("--step-size", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_plantvillage_smc)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,7 +34,8 @@ def effective_sample_size(samples) -> jnp.ndarray:
     axes are treated as independent parameters; returns ESS with those axes.
     """
     samples = jnp.asarray(samples)
-    if samples.ndim == 2:
+    scalar_input = samples.ndim == 2
+    if scalar_input:
         samples = samples[..., None]
     chains, draws = samples.shape[0], samples.shape[1]
     param_shape = samples.shape[2:]
@@ -68,7 +69,9 @@ def effective_sample_size(samples) -> jnp.ndarray:
 
     ess = chains * draws / tau
     ess = jnp.minimum(ess, jnp.float32(chains * draws) * 1.0)
-    return ess.reshape(param_shape) if param_shape else ess.squeeze()
+    if scalar_input:
+        return ess[0]
+    return ess.reshape(param_shape)
 
 
 def ess_pytree(positions):

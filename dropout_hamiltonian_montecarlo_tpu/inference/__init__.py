@@ -1,14 +1,27 @@
 """Inference layer (parity with /root/reference/hamiltonian/inference/ — SURVEY.md §2)."""
 
-from . import base, hmc, metropolis, sampling, sgd, sgmcmc, vi, warmup
+from . import (
+    base,
+    hmc,
+    metropolis,
+    nuts,
+    sampling,
+    sgd,
+    sgmcmc,
+    smc,
+    vi,
+    warmup,
+)
 
 __all__ = [
     "base",
     "hmc",
     "metropolis",
+    "nuts",
     "sampling",
     "sgd",
     "sgmcmc",
+    "smc",
     "vi",
     "warmup",
 ]

@@ -56,21 +56,26 @@ def build_kernel(
     num_integration_steps: int,
     jitter_steps: bool = True,
     divergence_threshold: float = 1000.0,
+    metric=None,
 ):
     """Returns step(key, state, step_size, inv_mass) -> (state, info).
 
     With jitter_steps=True the number of leapfrog steps per draw is
     ceil(U(0,1) * num_integration_steps) — decorrelates trajectories the same
     way the reference's randomized path length does (cpu/hmc.py:46).
+
+    ``metric``: an ops.metrics.Metric overriding the default diagonal metric
+    (the inv_mass argument is then ignored) — e.g. the Kronecker Gauss-Newton
+    metric of ops/kron_metric.py for GLM posteriors.
     """
 
     def step(key, state: HMCState, step_size, inv_mass):
         key_mom, key_steps, key_accept = jax.random.split(key, 3)
-        metric = diagonal_metric(inv_mass)
-        integ = velocity_verlet(logdensity_fn, metric.kinetic_grad)
+        m = metric if metric is not None else diagonal_metric(inv_mass)
+        integ = velocity_verlet(logdensity_fn, m.kinetic_grad)
 
-        momentum = metric.sample_momentum(key_mom, state.position)
-        energy0 = -state.logdensity + metric.kinetic_energy(momentum)
+        momentum = m.sample_momentum(key_mom, state.position)
+        energy0 = -state.logdensity + m.kinetic_energy(momentum)
 
         if jitter_steps:
             u = jax.random.uniform(key_steps)
@@ -85,7 +90,7 @@ def build_kernel(
         )
         end = run(start, step_size)
 
-        energy1 = -end.logdensity + metric.kinetic_energy(end.momentum)
+        energy1 = -end.logdensity + m.kinetic_energy(end.momentum)
         delta = energy0 - energy1
         delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
         accept_prob = jnp.minimum(1.0, jnp.exp(delta))

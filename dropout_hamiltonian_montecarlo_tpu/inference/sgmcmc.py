@@ -123,7 +123,7 @@ def sghmc_init(position: Params) -> SGHMCState:
 
 def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
                        friction: float = 1.0, temperature: float = 1.0,
-                       num_leapfrog: int = 1):
+                       num_leapfrog: int = 1, refresh_momentum: bool = False):
     """Returns step(key, state, batch, step_size) -> (state, info).
 
     Per inner step (v is momentum with unit mass):
@@ -131,13 +131,20 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
       q <- q + eps * v
     which is the reference's intended update (cpu/sghmc.py:28-34 — friction
     C = I there) with the published noise scale sqrt(2*friction*eps).
-    The momentum is refreshed from N(0, I) at the start of each outer step,
-    matching the reference's draw_momentum-per-trajectory design.
+
+    refresh_momentum=False (default) keeps the momentum persistent across
+    steps — the published Chen et al. (2014) dynamics, where friction+noise
+    alone give the correct stationary distribution.  refresh_momentum=True
+    resamples v ~ N(0, I) each outer step, matching the reference's
+    draw_momentum-per-trajectory design (cpu/sghmc.py:21).
     """
 
     def step(key, state: SGHMCState, batch: Batch, step_size):
         k_mom, k_noise = jax.random.split(key)
-        momentum = tree_randn_like(k_mom, state.position)
+        if refresh_momentum:
+            momentum = tree_randn_like(k_mom, state.position)
+        else:
+            momentum = state.momentum
         noise_scale = jnp.sqrt(2.0 * friction * step_size * temperature)
 
         def inner(carry, k):
@@ -229,3 +236,26 @@ def run_sgmcmc(
 
     carry, (positions, infos) = jax.lax.scan(draw_body, carry, draw_keys)
     return carry[0], positions, infos
+
+
+def run_sgmcmc_chains(
+    kernel: Callable,
+    initial_states,          # pytree with leading chain axis
+    key: jax.Array,
+    num_chains: int,
+    data: Batch,
+    **kwargs,
+):
+    """vmap run_sgmcmc over a chain axis (per-chain keys; shared dataset).
+
+    The TPU replacement for the reference's multicore SG-MCMC workers
+    (cpu/sgld_multicore.py:85-104): chains are a batch axis, minibatch draws
+    are per-chain random gathers, no queues.  Returns (final_states,
+    positions, infos) with leading (chains, draws) axes on positions.
+    """
+    keys = jax.random.split(key, num_chains)
+
+    def one_chain(state, k):
+        return run_sgmcmc(kernel, state, k, data, **kwargs)
+
+    return jax.vmap(one_chain)(initial_states, keys)

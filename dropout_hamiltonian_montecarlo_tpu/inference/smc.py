@@ -1,0 +1,183 @@
+"""Adaptive tempered Sequential Monte Carlo with systematic resampling.
+
+North-star addition (BASELINE.json config 5: "multi-host SGHMC + tempered SMC
+with cross-host resampling"); no reference counterpart.  Design:
+
+- particles are a pytree with leading axis N; on a pod slice the axis is laid
+  across devices with a NamedSharding and every step below is a global-array
+  program under jit — the weight reduction (logsumexp), the adaptive
+  temperature solve, and the resampling gather lower to XLA collectives
+  (all_gather/all_to_all over ICI) automatically; no hand-written transport.
+- temperature ladder lambda: 0 -> 1, adapted so the effective sample size of
+  the incremental weights stays at target_ess * N (bisection inside jit);
+- mutation: any (key, state, step_size, inv_mass) kernel (HMC/NUTS/MH) vmapped
+  over particles at the current tempered density;
+- resampling: systematic (low-variance) via a single sorted-uniform gather.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Params = Any
+
+
+class SMCState(NamedTuple):
+    particles: Params            # leading axis = num_particles
+    log_weights: jnp.ndarray     # (N,) unnormalized
+    lmbda: jnp.ndarray           # current inverse temperature in [0, 1]
+    log_evidence: jnp.ndarray    # accumulated log normalizing-constant estimate
+
+
+class SMCInfo(NamedTuple):
+    lmbda: jnp.ndarray
+    ess: jnp.ndarray
+    acceptance: jnp.ndarray
+    num_stages: jnp.ndarray
+
+
+def init(particles: Params) -> SMCState:
+    n = jax.tree_util.tree_leaves(particles)[0].shape[0]
+    return SMCState(
+        particles=particles,
+        log_weights=jnp.zeros((n,), jnp.float32),
+        lmbda=jnp.float32(0.0),
+        log_evidence=jnp.float32(0.0),
+    )
+
+
+def ess_from_log_weights(log_w: jnp.ndarray) -> jnp.ndarray:
+    w = jax.nn.softmax(log_w)
+    return 1.0 / jnp.sum(w * w)
+
+
+def systematic_resample(key, log_weights: jnp.ndarray) -> jnp.ndarray:
+    """Systematic resampling: returns (N,) parent indices."""
+    n = log_weights.shape[0]
+    w = jax.nn.softmax(log_weights)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), minval=0.0, maxval=1.0 / n)
+    points = u0 + jnp.arange(n, dtype=jnp.float32) / n
+    return jnp.searchsorted(cum, points)
+
+
+def _solve_next_lambda(loglik: jnp.ndarray, log_weights: jnp.ndarray,
+                       lmbda, target_ess: float, num_bisect: int = 30):
+    """Largest lambda' in (lmbda, 1] with ESS(incremental weights) >=
+    target_ess * N, by bisection (monotone in lambda')."""
+    n = loglik.shape[0]
+
+    def ess_at(lam):
+        inc = (lam - lmbda) * loglik
+        return ess_from_log_weights(log_weights + inc)
+
+    target = target_ess * n
+
+    def body(_, bounds):
+        lo, hi = bounds
+        mid = 0.5 * (lo + hi)
+        ok = ess_at(mid) >= target
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    full = ess_at(jnp.float32(1.0)) >= target
+    lo, hi = jax.lax.fori_loop(
+        0, num_bisect, body, (lmbda, jnp.float32(1.0))
+    )
+    return jnp.where(full, jnp.float32(1.0), lo)
+
+
+def run_tempered_smc(
+    key: jax.Array,
+    initial_particles: Params,
+    log_prior_fn: Callable[[Params], jnp.ndarray],
+    log_likelihood_fn: Callable[[Params], jnp.ndarray],
+    kernel_builder: Callable[[Callable], Callable],
+    # kernel_builder(logdensity_fn) -> (key, state, step_size, inv_mass) step
+    init_builder: Callable[[Callable], Callable],
+    # init_builder(logdensity_fn) -> (position) -> state
+    step_size: float = 0.1,
+    num_mcmc_steps: int = 5,
+    target_ess: float = 0.5,
+    max_stages: int = 100,
+) -> Tuple[SMCState, SMCInfo]:
+    """Run adaptive tempered SMC from the prior sample to the posterior.
+
+    log_likelihood_fn maps a SINGLE particle pytree to a scalar; it is vmapped
+    here.  The mutation kernel at temperature lambda targets
+    log_prior + lambda * log_likelihood.
+    """
+    state = init(initial_particles)
+    n = state.log_weights.shape[0]
+    inv_mass = jax.tree_util.tree_map(
+        lambda x: jnp.ones_like(x[0]), initial_particles
+    )
+
+    def mutate(key, particles, lmbda):
+        def logdensity(p):
+            return log_prior_fn(p) + lmbda * log_likelihood_fn(p)
+
+        kernel = kernel_builder(logdensity)
+        init_fn = init_builder(logdensity)
+        states = jax.vmap(init_fn)(particles)
+
+        def one_round(states, k):
+            ks = jax.random.split(k, n)
+            states, infos = jax.vmap(
+                lambda kk, s: kernel(kk, s, jnp.float32(step_size), inv_mass)
+            )(ks, states)
+            return states, infos.acceptance_prob
+
+        states, accs = jax.lax.scan(
+            one_round, states, jax.random.split(key, num_mcmc_steps)
+        )
+        return states.position, jnp.mean(accs)
+
+    class Carry(NamedTuple):
+        state: SMCState
+        key: jnp.ndarray
+        acceptance: jnp.ndarray
+        stages: jnp.ndarray
+
+    def cond_fn(c: Carry):
+        return jnp.logical_and(c.state.lmbda < 1.0, c.stages < max_stages)
+
+    def body_fn(c: Carry):
+        k_res, k_mut, k_next = jax.random.split(c.key, 3)
+        st = c.state
+        loglik = jax.vmap(log_likelihood_fn)(st.particles)
+
+        new_lmbda = _solve_next_lambda(loglik, st.log_weights, st.lmbda,
+                                       target_ess)
+        inc = (new_lmbda - st.lmbda) * loglik
+        log_w = st.log_weights + inc
+        # evidence increment: log mean of normalized-weighted incremental
+        log_evidence = st.log_evidence + (
+            jax.scipy.special.logsumexp(log_w)
+            - jax.scipy.special.logsumexp(st.log_weights)
+        )
+
+        # resample (global gather -> XLA collective when particles sharded)
+        idx = systematic_resample(k_res, log_w)
+        particles = jax.tree_util.tree_map(lambda x: x[idx], st.particles)
+
+        # mutate at the new temperature
+        particles, acc = mutate(k_mut, particles, new_lmbda)
+
+        new_state = SMCState(
+            particles=particles,
+            log_weights=jnp.zeros_like(log_w),
+            lmbda=new_lmbda,
+            log_evidence=log_evidence,
+        )
+        return Carry(new_state, k_next, acc, c.stages + 1)
+
+    out = jax.lax.while_loop(
+        cond_fn, body_fn,
+        Carry(state, key, jnp.float32(0.0), jnp.int32(0)),
+    )
+    final_ess = ess_from_log_weights(out.state.log_weights)
+    info = SMCInfo(out.state.lmbda, final_ess, out.acceptance, out.stages)
+    return out.state, info

@@ -1,0 +1,14 @@
+"""I/O layer: datasets, sample storage, checkpoint/resume (SURVEY.md §2
+storage component + §5 checkpoint subsystem)."""
+
+from . import datasets
+from .backend import HDF5Backend, posterior_mean
+from .checkpoint import load_checkpoint, save_checkpoint
+
+__all__ = [
+    "datasets",
+    "HDF5Backend",
+    "posterior_mean",
+    "save_checkpoint",
+    "load_checkpoint",
+]

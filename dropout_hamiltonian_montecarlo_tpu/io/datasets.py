@@ -1,0 +1,130 @@
+"""Dataset loaders for the benchmark workloads.
+
+Parity targets (SURVEY.md §2, L4): the 2-D blobs problem of
+benchmarks/1.-Simulated_data.ipynb, MNIST from HDF5 (mnist_train.h5 with
+X_train/y_train keys, benchmarks/2.-MNIST.ipynb cell 2), and the PlantVillage
+conv-feature classifier from the reference README (:14-23).  This box has zero
+egress, so every loader falls back to a deterministic synthetic generator with
+the same shapes/statistics when the data file is absent; pass an explicit path
+to use real data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def blobs(n: int = 1000, d: int = 2, sep: float = 3.0, seed: int = 0,
+          test_fraction: float = 0.2):
+    """Two separable Gaussian blobs (binary) — notebook 1's simulated data."""
+    rng = np.random.RandomState(seed)
+    n2 = n // 2
+    X = np.concatenate([
+        rng.randn(n2, d) - sep / 2.0,
+        rng.randn(n - n2, d) + sep / 2.0,
+    ]).astype(np.float32)
+    y = np.concatenate([np.zeros(n2), np.ones(n - n2)]).astype(np.float32)
+    perm = rng.permutation(n)
+    X, y = X[perm], y[perm]
+    n_test = int(n * test_fraction)
+    return (
+        (jnp.asarray(X[n_test:]), jnp.asarray(y[n_test:])),
+        (jnp.asarray(X[:n_test]), jnp.asarray(y[:n_test])),
+    )
+
+
+def synthetic_classification(n: int, d: int, k: int, seed: int = 0,
+                             noise: float = 0.5):
+    """Linearly separable-ish K-class data from a ground-truth softmax model."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, d).astype(np.float32)
+    W = rng.randn(d, k).astype(np.float32) / np.sqrt(d)
+    logits = X @ W + noise * rng.randn(n, k).astype(np.float32)
+    y = logits.argmax(-1).astype(np.int32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def mnist(path: Optional[str] = None, split: str = "train"):
+    """MNIST in the reference's HDF5 layout (X_train/y_train, X_test/y_test).
+
+    Without a file: deterministic MNIST-shaped synthetic data (60000/10000 x
+    784, 10 classes, pixel statistics in [0,1]) so the benchmark pipeline runs
+    in zero-egress environments with identical shapes and compute cost.
+    """
+    if path is not None and os.path.exists(path):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            X = np.asarray(f[f"X_{split}"], np.float32)
+            y = np.asarray(f[f"y_{split}"]).astype(np.int32)
+        if X.max() > 1.5:
+            X = X / 255.0
+        if y.ndim == 2:  # one-hot stored
+            y = y.argmax(-1).astype(np.int32)
+        return jnp.asarray(X.reshape(X.shape[0], -1)), jnp.asarray(y)
+
+    n = 60000 if split == "train" else 10000
+    cache = os.path.join(os.path.dirname(__file__), "..", "..", ".data_cache")
+    cache_file = os.path.join(cache, f"mnist_synth_{split}.npz")
+    if os.path.exists(cache_file):
+        z = np.load(cache_file)
+        return jnp.asarray(z["X"]), jnp.asarray(z["y"])
+    rng = np.random.RandomState(0 if split == "train" else 1)
+    # class-conditional pixel means -> classification is learnable, pixel
+    # scale matches MNIST ([0,1], sparse-ish)
+    centers = rng.rand(10, 784).astype(np.float32) * 0.5
+    y = rng.randint(0, 10, size=n).astype(np.int32)
+    X = centers[y] + 0.3 * np.abs(rng.randn(n, 784).astype(np.float32))
+    X = np.clip(X, 0.0, 1.0)
+    try:
+        os.makedirs(cache, exist_ok=True)
+        np.savez(cache_file, X=X, y=y)
+    except OSError:
+        pass
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def digits():
+    """Real bundled image data (sklearn 8x8 digits, 1797 examples, 10-class)
+    for tests that want non-synthetic pixels without network access."""
+    from sklearn import datasets as skdatasets
+
+    d = skdatasets.load_digits()
+    X = (d.data / 16.0).astype(np.float32)
+    y = d.target.astype(np.int32)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def plantvillage_features(path: Optional[str] = None, n: int = 20000,
+                          dim: int = 512, k: int = 38, seed: int = 2):
+    """PlantVillage conv-feature classifier data (reference README:14-23
+    points at precomputed conv features).  HDF5 layout: features/labels.
+    Synthetic fallback: clustered conv-feature-like activations (ReLU-censored
+    Gaussians around class centers), 38 classes like PlantVillage."""
+    if path is not None and os.path.exists(path):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            X = np.asarray(f["features"], np.float32)
+            y = np.asarray(f["labels"]).astype(np.int32)
+        return jnp.asarray(X), jnp.asarray(y)
+
+    rng = np.random.RandomState(seed)
+    centers = np.maximum(rng.randn(k, dim).astype(np.float32), 0.0)
+    y = rng.randint(0, k, size=n).astype(np.int32)
+    X = np.maximum(centers[y] + 0.5 * rng.randn(n, dim).astype(np.float32), 0.0)
+    return jnp.asarray(X), jnp.asarray(y)
+
+
+def train_test_split(X, y, test_fraction: float = 0.2, seed: int = 0):
+    n = X.shape[0]
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    n_test = int(n * test_fraction)
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+    return (X[train_idx], y[train_idx]), (X[test_idx], y[test_idx])

@@ -1,5 +1,5 @@
 """Core sampler ops: pytree arithmetic, integrators, metrics, adaptation."""
 
-from . import adaptation, integrators, metrics, tree
+from . import adaptation, integrators, kron_metric, metrics, tree
 
-__all__ = ["tree", "integrators", "metrics", "adaptation"]
+__all__ = ["tree", "integrators", "metrics", "adaptation", "kron_metric"]

@@ -21,11 +21,17 @@ Params = Any
 
 
 class Metric(NamedTuple):
-    """Diagonal Euclidean metric: p ~ N(0, M); K(p) = 0.5 p^T M^-1 p."""
+    """Euclidean metric: p ~ N(0, M); K(p) = 0.5 p^T M^-1 p.
+
+    sample_position (optional): draw q ~ N(mean, M^-1) — the Laplace
+    approximation to the posterior when M is the Hessian at the MAP; used for
+    overdispersion-free chain initialization.
+    """
 
     sample_momentum: Callable
     kinetic_energy: Callable
     kinetic_grad: Callable
+    sample_position: Callable = None
 
 
 def diagonal_metric(inv_mass: Params) -> Metric:

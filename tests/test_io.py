@@ -1,0 +1,100 @@
+"""I/O tests: HDF5 sample backend round trip + aggregation, checkpoint/resume
+actually resumes (the reference never reads its files back, SURVEY.md §5)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dropout_hamiltonian_montecarlo_tpu.io import (
+    HDF5Backend,
+    load_checkpoint,
+    posterior_mean,
+    save_checkpoint,
+)
+from dropout_hamiltonian_montecarlo_tpu.io import datasets
+
+
+def test_hdf5_backend_append_and_read(tmp_path):
+    path = str(tmp_path / "samples.h5")
+    block1 = {"weights": np.ones((5, 3, 2), np.float32),
+              "bias": np.zeros((5, 2), np.float32)}
+    block2 = {"weights": 2 * np.ones((3, 3, 2), np.float32),
+              "bias": np.ones((3, 2), np.float32)}
+    with HDF5Backend(path) as b:
+        b.append(block1)
+        b.append(block2)
+    with HDF5Backend(path, "r") as b:
+        data = b.read()
+    assert data["weights"].shape == (8, 3, 2)
+    assert np.allclose(data["weights"][:5], 1.0)
+    assert np.allclose(data["weights"][5:], 2.0)
+
+
+def test_posterior_mean_across_files(tmp_path):
+    """Parity with the reference's backend_mean (cpu/hmc.py:132-138)."""
+    p1, p2 = str(tmp_path / "b0.h5"), str(tmp_path / "b1.h5")
+    with HDF5Backend(p1) as b:
+        b.append({"x": np.full((4, 2), 1.0, np.float32)})
+    with HDF5Backend(p2) as b:
+        b.append({"x": np.full((12, 2), 3.0, np.float32)})
+    mean = posterior_mean([p1, p2])
+    # weighted by draw count: (4*1 + 12*3)/16 = 2.5
+    assert np.allclose(mean["x"], 2.5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    state = {"pos": jnp.arange(6.0).reshape(2, 3), "logp": jnp.float32(-1.5)}
+    extras = {"adapt": {"step_size": jnp.float32(0.1)}}
+    key = jax.random.key(99)
+    save_checkpoint(path, state, key=key, step=42, extras=extras)
+
+    template = {"pos": jnp.zeros((2, 3)), "logp": jnp.float32(0.0)}
+    extras_t = {"adapt": {"step_size": jnp.float32(0.0)}}
+    state2, key2, step, extras2 = load_checkpoint(path, template, extras_t)
+    assert step == 42
+    assert np.allclose(state2["pos"], state["pos"])
+    assert float(extras2["adapt"]["step_size"]) == np.float32(0.1)
+    # restored key produces the same stream
+    a = jax.random.normal(key, (3,))
+    b = jax.random.normal(key2, (3,))
+    assert np.allclose(a, b)
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, {"x": jnp.zeros(3)}, key=jax.random.key(0), step=1)
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, {"x": jnp.zeros(4)})
+
+
+def test_datasets_shapes():
+    (Xtr, ytr), (Xte, yte) = datasets.blobs(n=100)
+    assert Xtr.shape[0] + Xte.shape[0] == 100
+    X, y = datasets.mnist()
+    assert X.shape == (60000, 784) and y.shape == (60000,)
+    assert float(X.min()) >= 0.0 and float(X.max()) <= 1.0
+    assert int(y.max()) == 9
+    Xd, yd = datasets.digits()
+    assert Xd.shape == (1797, 64)
+    Xp, yp = datasets.plantvillage_features(n=100)
+    assert Xp.shape == (100, 512) and int(yp.max()) < 38
+
+
+def test_mnist_hdf5_reference_format(tmp_path):
+    """The reference's mnist_train.h5 layout (X_train/y_train keys,
+    benchmarks/2.-MNIST.ipynb cell 2) loads correctly."""
+    import h5py
+
+    path = str(tmp_path / "mnist_train.h5")
+    rng = np.random.RandomState(0)
+    with h5py.File(path, "w") as f:
+        f["X_train"] = rng.randint(0, 255, (32, 784)).astype(np.float32)
+        f["y_train"] = np.eye(10, dtype=np.float32)[rng.randint(0, 10, 32)]
+    X, y = datasets.mnist(path)
+    assert X.shape == (32, 784)
+    assert float(X.max()) <= 1.0  # rescaled from [0,255]
+    assert y.shape == (32,)       # de-one-hotted
