@@ -6,15 +6,25 @@ numbers (BASELINE.md): CPU HMC on a 3-param logistic took ~8-15 s/draw; MNIST
 softmax was only ever run with SGD (24.3 s / 50 epochs) — full-batch HMC on
 MNIST was computationally out of reach for it.
 
-The dataset is passed as a jit ARGUMENT (never closed over): closure capture
-would bake the 188 MB array into the compiled executable as a constant
-(observed: 357 MB executable, 8-minute compile).
+Pipeline (see ops/kron_metric.py for the math):
+  1. Kronecker Gauss-Newton metric at the uniform Fisher -> natural-gradient
+     (Newton) MAP.
+  2. Metric refreshed with the empirical Fisher AT the MAP (K-FAC) — tracks
+     the true posterior curvature.
+  3. HMC runs in WHITENED coordinates e = M^{1/2}(q - qmap): the posterior is
+     near N(0, I) there, every array is O(1) in float32 (no mixed scales),
+     and warmup's diagonal mass adaptation absorbs residual anisotropy.
+  4. Draws map back to parameter space on-device; ESS is computed per
+     parameter coordinate in PARAMETER space.
+
+Transfer rules for the tunneled TPU (observed ~1 MB/s D2H): the dataset is a
+jit ARGUMENT (never closed over — closure capture bakes 188 MB into the
+executable), and no (n, D) array ever crosses device->host.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra detail goes to stderr.
 """
 
-import functools
 import json
 import sys
 import time
@@ -24,6 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# float32 matmuls: TPU's default bf16 matmul puts O(10) noise into the
+# |logdensity| ~ 1e5 sum (0.4% per logit), which swamps the MH energy delta
+# and collapses dual averaging (observed: step size -> 1e-4, ESS -> 8).
+jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
@@ -33,138 +47,135 @@ def log(*a):
 
 
 NUM_CHAINS = 16
-NUM_WARMUP = 100
+NUM_WARMUP = 300
 NUM_SAMPLES = 500
 NUM_INTEGRATION_STEPS = 8
-
-
-def _model():
-    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
-
-    return Softmax(dim=784, n_classes=10, alpha=1.0)
-
-
-_METRIC = None  # built once from X on the host; closed over (tiny arrays)
-
-
-def _kernel(X, y):
-    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
-
-    model = _model()
-    logdensity = model.make_logdensity(batch=(X, y))
-    # Kronecker Gauss-Newton metric: isotropizes the GLM posterior so a
-    # handful of leapfrog steps give near-iid draws (see ops/kron_metric.py).
-    kernel = hmc.build_kernel(logdensity, NUM_INTEGRATION_STEPS,
-                              metric=_METRIC)
-    return model, logdensity, kernel
-
-
-@jax.jit
-def map_and_init(key, X, y):
-    """Natural-gradient MAP (Newton for GLMs), then Laplace draws as chain
-    starts — puts every chain inside the typical set before warmup."""
-    from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
-        natural_gradient_map,
-    )
-
-    model, logdensity, _ = _kernel(X, y)
-    q0 = model.init_params(key)
-    qmap = natural_gradient_map(logdensity, _METRIC, q0, num_steps=30)
-    keys = jax.random.split(jax.random.fold_in(key, 1), NUM_CHAINS)
-    positions = jax.vmap(lambda k: _METRIC.sample_position(k, qmap))(keys)
-    return qmap, positions
-
-
-@jax.jit
-def warm(positions, keys, X, y):
-    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
-    from dropout_hamiltonian_montecarlo_tpu.inference.warmup import run_warmup
-
-    _, logdensity, kernel = _kernel(X, y)
-
-    def one(p, kk):
-        state = hmc.init(p, logdensity)
-        return run_warmup(kernel, state, kk, NUM_WARMUP,
-                          initial_step_size=0.05)
-
-    return jax.vmap(one)(positions, keys)
-
-
-@jax.jit
-def sample(states, step_sizes, inv_mass, keys, X, y):
-    from dropout_hamiltonian_montecarlo_tpu.inference.base import run_inference
-
-    _, _, kernel = _kernel(X, y)
-
-    def one_chain(s, ss, im, kk):
-        fixed = lambda k2, st: kernel(k2, st, ss, im)
-        _, (sts, infos) = run_inference(fixed, s, kk, NUM_SAMPLES)
-        return sts.position, infos
-
-    return jax.vmap(one_chain)(states, step_sizes, inv_mass, keys)
+ALPHA = 1.0
 
 
 def main():
+    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.inference.base import run_inference
+    from dropout_hamiltonian_montecarlo_tpu.inference.warmup import run_warmup
     from dropout_hamiltonian_montecarlo_tpu.io import datasets
     from dropout_hamiltonian_montecarlo_tpu.diagnostics.ess import (
         effective_sample_size,
     )
-
-    global _METRIC
     from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
+        gram_eigh,
+        natural_gradient_map,
         softmax_gauss_newton_metric,
     )
+    from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
 
     t0 = time.time()
     X, yi = datasets.mnist()
     y = (yi[:, None] == jnp.arange(10)).astype(jnp.float32)
     X, y = jax.device_put(X), jax.device_put(y)
     jax.block_until_ready((X, y))
-    model = _model()
+    model = Softmax(dim=784, n_classes=10, alpha=ALPHA)
     log(f"data: {X.shape} ({time.time() - t0:.1f}s); "
         f"params={784 * 10 + 10} chains={NUM_CHAINS}")
 
+    # --- metric stage 1: uniform-Fisher Kronecker metric -> Newton MAP ---
     t0 = time.time()
-    _METRIC = softmax_gauss_newton_metric(np.asarray(X), 10, alpha=1.0)
-    log(f"Gauss-Newton Kronecker metric built in {time.time() - t0:.1f}s")
+    gram = gram_eigh(X)
+    metric0 = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram)
+    log(f"Gram eigh: {time.time() - t0:.1f}s")
 
-    key = jax.random.key(0)
+    logdensity = model.make_logdensity(batch=(X, y))
     t0 = time.time()
-    qmap, positions = map_and_init(key, X, y)
-    jax.block_until_ready(positions)
-    log(f"MAP + Laplace chain init: {time.time() - t0:.1f}s")
-    warm_keys = jax.random.split(jax.random.key(1), NUM_CHAINS)
+
+    @jax.jit
+    def map_stage1(key):
+        q0 = model.init_params(key)
+        qmap = natural_gradient_map(logdensity, metric0, q0, num_steps=60)
+        return qmap, model.predict(qmap, X, prob=True)
+
+    qmap, probs = map_stage1(jax.random.key(0))
+    jax.block_until_ready(qmap)
+    acc = float((model.predict(qmap, X) == yi).mean())
+    log(f"MAP (uniform-Fisher Newton): {time.time() - t0:.1f}s; "
+        f"train acc {acc:.4f}")
+
+    # Refresh the metric with the empirical Fisher AT the MAP (K-FAC) for
+    # SAMPLING only.  (Running more Newton steps under this metric diverges:
+    # confident probs make the Fisher factor small, so M^-1 overshoots in
+    # directions where K-FAC underestimates the true curvature.)
+    t0 = time.time()
+    metric = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
+                                         probs=probs)
+    log(f"metric refresh @ MAP Fisher: {time.time() - t0:.1f}s")
+
+    # --- whitened-space HMC: e = M^{1/2}(q - qmap), posterior ~ N(0, I) ---
+    def logdensity_e(e):
+        return logdensity(tree_add(qmap, metric.unwhiten(e)))
+
+    kernel = hmc.build_kernel(logdensity_e, NUM_INTEGRATION_STEPS)
+
+    @jax.jit
+    def warm(key):
+        e_keys = jax.random.split(jax.random.fold_in(key, 0), NUM_CHAINS)
+        w_keys = jax.random.split(jax.random.fold_in(key, 1), NUM_CHAINS)
+
+        def one(ke, kw):
+            # Laplace init is exactly e ~ N(0, I) in whitened coordinates
+            e0 = {
+                "weights": jax.random.normal(ke, (784, 10), jnp.float32),
+                "bias": jax.random.normal(jax.random.fold_in(ke, 1), (10,),
+                                          jnp.float32),
+            }
+            state = hmc.init(e0, logdensity_e)
+            return run_warmup(kernel, state, kw, NUM_WARMUP,
+                              initial_step_size=0.1)
+
+        return jax.vmap(one)(e_keys, w_keys)
 
     t0 = time.time()
-    warmres = warm(positions, warm_keys, X, y)
+    warmres = warm(jax.random.key(1))
     jax.block_until_ready(warmres.step_size)
-    t_warm = time.time() - t0
-    log(f"warmup: {t_warm:.1f}s; "
-        f"step sizes {np.asarray(warmres.step_size).round(5)}")
+    log(f"warmup ({NUM_WARMUP} steps, incl compile): {time.time() - t0:.1f}s; "
+        f"step sizes {np.asarray(warmres.step_size).round(4)}")
 
-    sample_keys = jax.random.split(jax.random.key(2), NUM_CHAINS)
-    t0 = time.time()
-    positions_out, infos = sample(warmres.state, warmres.step_size,
-                                  warmres.inv_mass, sample_keys, X, y)
-    jax.block_until_ready(positions_out)
-    t_first = time.time() - t0
-    log(f"sampling (incl compile): {t_first:.1f}s")
+    @jax.jit
+    def sample(states, step_sizes, inv_mass, key):
+        keys = jax.random.split(key, NUM_CHAINS)
+
+        def one_chain(s, ss, im, kk):
+            fixed = lambda k2, st: kernel(k2, st, ss, im)
+            _, (sts, infos) = run_inference(fixed, s, kk, NUM_SAMPLES)
+            return sts.position, infos
+
+        e_draws, infos = jax.vmap(one_chain)(states, step_sizes, inv_mass,
+                                             keys)
+        # back to parameter space (on device), ESS per parameter coordinate
+        q_draws = jax.vmap(jax.vmap(
+            lambda e: tree_add(qmap, metric.unwhiten(e))))(e_draws)
+        ess = jnp.concatenate([
+            effective_sample_size(q_draws["weights"]).ravel(),
+            effective_sample_size(q_draws["bias"]).ravel(),
+        ])
+        return ess, infos
 
     t0 = time.time()
-    positions_out, infos = sample(warmres.state, warmres.step_size,
-                                  warmres.inv_mass, sample_keys, X, y)
-    jax.block_until_ready(positions_out)
+    ess, infos = sample(warmres.state, warmres.step_size, warmres.inv_mass,
+                        jax.random.key(2))
+    jax.block_until_ready(ess)
+    log(f"sampling (incl compile): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    ess, infos = sample(warmres.state, warmres.step_size, warmres.inv_mass,
+                        jax.random.key(3))
+    jax.block_until_ready(ess)
     t_sample = time.time() - t0
 
     accept = float(np.asarray(infos.acceptance_prob).mean())
     div = float(np.asarray(infos.is_divergent).mean())
-    log(f"sampling: {t_sample:.2f}s for {NUM_CHAINS}x{NUM_SAMPLES} draws; "
+    log(f"sampling+ESS: {t_sample:.2f}s for {NUM_CHAINS}x{NUM_SAMPLES} draws; "
         f"accept={accept:.3f} divergent={div:.4f}")
 
-    ess_w = np.asarray(
-        effective_sample_size(positions_out["weights"])).ravel()
-    ess_b = np.asarray(effective_sample_size(positions_out["bias"])).ravel()
-    ess = np.concatenate([ess_w, ess_b])
+    ess = np.asarray(ess)
     med_ess, min_ess = float(np.median(ess)), float(np.min(ess))
     ess_per_sec = med_ess / t_sample
     log(f"ESS: median={med_ess:.0f} min={min_ess:.0f} "

@@ -37,28 +37,55 @@ from .tree import tree_randn_like
 Params = Any
 
 
+def gram_eigh(X):
+    """Eigendecomposition of the Gram matrix X^T X.
+
+    The (n, D) @ (D, n) GEMM runs on the accelerator; only the (D, D) result
+    crosses to the host (never pass a D2H copy of X itself — on tunneled
+    devices that transfer costs minutes).  Returns host (s_f, U_f), float64.
+    """
+    F = np.asarray(jnp.matmul(jnp.asarray(X).T, jnp.asarray(X),
+                              preferred_element_type=jnp.float32), np.float64)
+    s_f, U_f = np.linalg.eigh(F)
+    return np.maximum(s_f, 0.0), U_f
+
+
 def softmax_gauss_newton_metric(
     X,
     n_classes: int,
     alpha: float,
     likelihood_scale: float = 1.0,
+    probs=None,
+    gram=None,
 ) -> Metric:
     """Metric for params {'weights': (D, K), 'bias': (K,)}.
 
     likelihood_scale rescales the data term (use data_size/batch_size when the
     log density is a scaled minibatch estimator).
+
+    probs: optional (n, K) predicted class probabilities (e.g. at the MAP).
+    The class factor A becomes the empirical mean Fisher
+    mean_i[diag(p_i) - p_i p_i^T] (K-FAC), which tracks the true curvature at
+    the expansion point; default is the uniform-categorical Fisher
+    I/K - 11^T/K^2 — exact only when predictions are maximally uncertain.
+
+    gram: optional precomputed (s_f, U_f) from gram_eigh(X) so a two-stage
+    build (uniform metric -> MAP -> refreshed metric at MAP probs) pays for
+    the D x D eigendecomposition once.
     """
     n, d = X.shape
     k = n_classes
 
-    # Gram matrix on the accelerator (one 60000x784x784 GEMM), eigh of the
-    # small (D, D) result in float64 on host.
-    F = np.asarray(jnp.matmul(jnp.asarray(X).T, jnp.asarray(X),
-                              preferred_element_type=jnp.float32), np.float64)
-    s_f, U_f = np.linalg.eigh(F)
-    s_f = np.maximum(s_f, 0.0)
+    s_f, U_f = gram if gram is not None else gram_eigh(X)
 
-    A = np.eye(k) / k - np.ones((k, k)) / (k * k)
+    if probs is None:
+        A = np.eye(k) / k - np.ones((k, k)) / (k * k)
+    else:
+        # mean Fisher on the device (P may be a device array; only the
+        # (K, K) result crosses to host)
+        P = jnp.asarray(probs)
+        A_dev = jnp.diag(jnp.mean(P, 0)) - (P.T @ P) / P.shape[0]
+        A = np.asarray(A_dev, np.float64)
     s_a, U_a = np.linalg.eigh(A)
     s_a = np.maximum(s_a, 0.0)
 
@@ -117,8 +144,23 @@ def softmax_gauss_newton_metric(
             "bias": mean["bias"] + delta["bias"],
         }
 
+    def whiten(dq):
+        """e = M^{1/2} dq (eigen coordinates, unit posterior scale)."""
+        e = to_eigen(dq)
+        return {
+            "weights": jnp.sqrt(d_w) * e["weights"],
+            "bias": jnp.sqrt(d_b) * e["bias"],
+        }
+
+    def unwhiten(e):
+        """dq = M^{-1/2} e."""
+        return from_eigen({
+            "weights": e["weights"] / jnp.sqrt(d_w),
+            "bias": e["bias"] / jnp.sqrt(d_b),
+        })
+
     return Metric(sample_momentum, kinetic_energy, kinetic_grad,
-                  sample_position)
+                  sample_position, whiten, unwhiten)
 
 
 def natural_gradient_map(logdensity_fn, metric: Metric, init_params,

@@ -26,12 +26,20 @@ class Metric(NamedTuple):
     sample_position (optional): draw q ~ N(mean, M^-1) — the Laplace
     approximation to the posterior when M is the Hessian at the MAP; used for
     overdispersion-free chain initialization.
+
+    whiten / unwhiten (optional): the change of variables e = M^{1/2} dq and
+    dq = M^{-1/2} e.  Sampling the REPARAMETRIZED posterior p(e) with an
+    identity mass matrix is algebraically identical to sampling p(q) under
+    this metric, but numerically far better in float32: every coordinate of
+    (e, momentum) is O(1) instead of spanning the metric's condition number.
     """
 
     sample_momentum: Callable
     kinetic_energy: Callable
     kinetic_grad: Callable
     sample_position: Callable = None
+    whiten: Callable = None
+    unwhiten: Callable = None
 
 
 def diagonal_metric(inv_mass: Params) -> Metric:
