@@ -34,10 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-# float32 matmuls: TPU's default bf16 matmul puts O(10) noise into the
-# |logdensity| ~ 1e5 sum (0.4% per logit), which swamps the MH energy delta
-# and collapses dual averaging (observed: step size -> 1e-4, ESS -> 8).
-jax.config.update("jax_default_matmul_precision", "highest")
+# 3-pass bf16 (~float32-accurate) matmuls: the TPU default single-pass bf16
+# puts O(10) noise into the |logdensity| ~ 1e5 sum (0.4% per logit), which
+# swamps the MH energy delta and collapses dual averaging (observed: step
+# size -> 1e-4, ESS -> 8).  "high" halves the GEMM cost vs "highest" with no
+# measurable ESS difference (see PERF_NOTES.md).
+jax.config.update("jax_default_matmul_precision", "high")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
@@ -48,8 +50,9 @@ def log(*a):
 
 NUM_CHAINS = 16
 NUM_WARMUP = 300
-NUM_SAMPLES = 500
-NUM_INTEGRATION_STEPS = 8
+NUM_SAMPLES = 1000
+NUM_INTEGRATION_STEPS = 12   # fixed-length: jitter halves mean trajectory
+TARGET_ACCEPT = 0.65         # d^(-1/4) regime: bigger steps beat 0.8 here
 ALPHA = 1.0
 
 
@@ -112,7 +115,8 @@ def main():
     def logdensity_e(e):
         return logdensity(tree_add(qmap, metric.unwhiten(e)))
 
-    kernel = hmc.build_kernel(logdensity_e, NUM_INTEGRATION_STEPS)
+    kernel = hmc.build_kernel(logdensity_e, NUM_INTEGRATION_STEPS,
+                              jitter_steps=False)
 
     @jax.jit
     def warm(key):
@@ -127,8 +131,12 @@ def main():
                                           jnp.float32),
             }
             state = hmc.init(e0, logdensity_e)
+            # adapt_mass=False: the Kronecker metric already whitens; Welford
+            # variance from short unmixed windows only degrades the scale
             return run_warmup(kernel, state, kw, NUM_WARMUP,
-                              initial_step_size=0.1)
+                              initial_step_size=0.1,
+                              target_acceptance=TARGET_ACCEPT,
+                              adapt_mass=False)
 
         return jax.vmap(one)(e_keys, w_keys)
 
@@ -147,28 +155,31 @@ def main():
             _, (sts, infos) = run_inference(fixed, s, kk, NUM_SAMPLES)
             return sts.position, infos
 
-        e_draws, infos = jax.vmap(one_chain)(states, step_sizes, inv_mass,
-                                             keys)
+        return jax.vmap(one_chain)(states, step_sizes, inv_mass, keys)
+
+    @jax.jit
+    def ess_of(e_draws):
         # back to parameter space (on device), ESS per parameter coordinate
         q_draws = jax.vmap(jax.vmap(
             lambda e: tree_add(qmap, metric.unwhiten(e))))(e_draws)
-        ess = jnp.concatenate([
+        return jnp.concatenate([
             effective_sample_size(q_draws["weights"]).ravel(),
             effective_sample_size(q_draws["bias"]).ravel(),
         ])
-        return ess, infos
 
     t0 = time.time()
-    ess, infos = sample(warmres.state, warmres.step_size, warmres.inv_mass,
-                        jax.random.key(2))
-    jax.block_until_ready(ess)
+    e_draws, infos = sample(warmres.state, warmres.step_size,
+                            warmres.inv_mass, jax.random.key(2))
+    jax.block_until_ready(e_draws["bias"])
     log(f"sampling (incl compile): {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    ess, infos = sample(warmres.state, warmres.step_size, warmres.inv_mass,
-                        jax.random.key(3))
-    jax.block_until_ready(ess)
+    e_draws, infos = sample(warmres.state, warmres.step_size,
+                            warmres.inv_mass, jax.random.key(3))
+    jax.block_until_ready(e_draws["bias"])
     t_sample = time.time() - t0
+    ess = ess_of(e_draws)
+    jax.block_until_ready(ess)
 
     accept = float(np.asarray(infos.acceptance_prob).mean())
     div = float(np.asarray(infos.is_divergent).mean())

@@ -80,12 +80,22 @@ def run_warmup(
     initial_step_size: float = 0.1,
     target_acceptance: float = 0.8,
     initial_inv_mass: Optional[Params] = None,
+    adapt_mass: bool = True,
 ) -> WarmupResult:
+    """adapt_mass=False: dual averaging only, inv_mass stays at its initial
+    value — the right choice when the target is already preconditioned (e.g.
+    whitened by a Gauss-Newton metric): Welford variance estimates from short,
+    not-yet-mixed windows are noisier than the known ~unit scale and drag the
+    step size down."""
     position_like = initial_state.position
     if initial_inv_mass is None:
         initial_inv_mass = tree_ones_like(position_like)
 
-    is_middle, window_end = build_schedule(num_steps)
+    if adapt_mass:
+        is_middle, window_end = build_schedule(num_steps)
+    else:
+        is_middle = np.zeros(num_steps, bool)
+        window_end = np.zeros(num_steps, bool)
     is_middle = jnp.asarray(is_middle)
     window_end = jnp.asarray(window_end)
 
