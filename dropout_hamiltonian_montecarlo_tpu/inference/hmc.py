@@ -25,9 +25,14 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.integrators import IntegratorState, trajectory, velocity_verlet
-from ..ops.metrics import diagonal_metric
-from ..ops.tree import tree_where
+from ..ops.integrators import (
+    IntegratorState,
+    trajectory,
+    velocity_verlet,
+    velocity_verlet_batched,
+)
+from ..ops.metrics import batched_diagonal_metric, diagonal_metric
+from ..ops.tree import tree_where, tree_where_bcast
 
 Params = Any
 
@@ -106,6 +111,72 @@ def build_kernel(
             energy=energy1,
             is_divergent=is_divergent,
             num_integration_steps=jnp.asarray(n_steps),
+        )
+        return HMCState(*new_state), info
+
+    return step
+
+
+def batched_init(positions: Params, value_and_grad_fn: Callable) -> HMCState:
+    """Init a chain-batched HMCState: leaves carry a leading chain axis and
+    ``value_and_grad_fn`` maps the batched positions to ((C,), batched grads)."""
+    value, grad = value_and_grad_fn(positions)
+    return HMCState(positions, value, grad)
+
+
+def build_batched_kernel(
+    value_and_grad_fn: Callable,
+    num_integration_steps: int,
+    divergence_threshold: float = 1000.0,
+):
+    """Chain-batched HMC: ALL chains advance inside one kernel call.
+
+    Instead of vmapping the per-chain kernel (which makes XLA differentiate
+    the log density with separate forward/backward dataset passes), the
+    integrator calls ``value_and_grad_fn`` on the full chain-stacked position
+    pytree — so a fused multi-chain value+grad (the Pallas GLM kernel,
+    ops/pallas_glm.py) serves every chain with ONE pass over the data.
+
+    Returns step(key, state, step_sizes, inv_mass) -> (state, info) where
+    state leaves have a leading chain axis C, state.logdensity is (C,),
+    step_sizes is (C,), and inv_mass leaves are chain-batched.  Info fields
+    are (C,)-vectors.  Trajectory length is fixed (no jitter): one compiled
+    scan serves all chains, matching the flagship bench configuration.
+    """
+
+    def step(key, state: HMCState, step_sizes, inv_mass):
+        key_mom, key_accept = jax.random.split(key)
+        m = batched_diagonal_metric(inv_mass)
+        integ = velocity_verlet_batched(value_and_grad_fn, m.kinetic_grad)
+
+        momentum = m.sample_momentum(key_mom, state.position)
+        energy0 = -state.logdensity + m.kinetic_energy(momentum)    # (C,)
+
+        run = trajectory(integ, num_integration_steps)
+        start = IntegratorState(
+            state.position, momentum, state.logdensity, state.logdensity_grad
+        )
+        end = run(start, step_sizes)
+
+        energy1 = -end.logdensity + m.kinetic_energy(end.momentum)  # (C,)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(delta))
+        is_divergent = jnp.abs(delta) > divergence_threshold
+
+        u = jax.random.uniform(key_accept, accept_prob.shape)
+        accept = u < accept_prob                                    # (C,)
+        proposal = HMCState(end.position, end.logdensity, end.logdensity_grad)
+        new_state = tree_where_bcast(accept, proposal, state)
+
+        info = HMCInfo(
+            acceptance_prob=accept_prob,
+            is_accepted=accept,
+            energy=energy1,
+            is_divergent=is_divergent,
+            num_integration_steps=jnp.full_like(
+                accept_prob, num_integration_steps
+            ),
         )
         return HMCState(*new_state), info
 

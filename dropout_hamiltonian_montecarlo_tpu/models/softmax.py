@@ -60,6 +60,26 @@ class Softmax(Model):
         mask = jax.random.bernoulli(key, 1.0 - p_drop, X.shape).astype(X.dtype)
         return self.predict(params, X * mask, prob=prob)
 
+    def make_fused_value_and_grad(self, batch, tile_rows: int = 1024,
+                                  interpret: bool = False):
+        """Chain-batched fused log-posterior value+grad via the Pallas TPU
+        kernel (ops/pallas_glm.py): params leaves carry a leading chain axis
+        ({'weights': (C,D,K), 'bias': (C,K)}), returns ((C,), batched grads)
+        with ONE pass over X per call — feeds
+        inference.hmc.build_batched_kernel."""
+        from ..ops.pallas_glm import softmax_value_and_grad
+
+        X, y = batch
+
+        def vag(params):
+            value, gw, gb = softmax_value_and_grad(
+                X, y, params["weights"], params["bias"], float(self.alpha),
+                tile_rows=tile_rows, interpret=interpret,
+            )
+            return value, {"weights": gw, "bias": gb}
+
+        return vag
+
     def analytic_grad(self, params, batch):
         """Closed-form grad of the log posterior (golden test vs jax.grad);
         reference form at /root/reference/hamiltonian/models/cpu/softmax.py:45-61."""

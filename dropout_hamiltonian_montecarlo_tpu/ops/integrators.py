@@ -59,6 +59,32 @@ def velocity_verlet(
     return step
 
 
+def velocity_verlet_batched(
+    value_and_grad_fn: Callable[[Params], Tuple[jnp.ndarray, Params]],
+    kinetic_grad_fn: Callable[[Params], Params],
+) -> Callable:
+    """Chain-batched leapfrog: leaves carry a leading chain axis C,
+    ``value_and_grad_fn`` maps the batched position to ((C,) values, batched
+    grads) in ONE call (e.g. the fused Pallas GLM kernel,
+    ops/pallas_glm.py), and ``step_size`` is a per-chain (C,) vector.
+
+    This is what vmap-of-grad cannot express: one dataset pass serving every
+    chain's gradient, instead of XLA's separate forward+backward passes.
+    """
+    from .tree import tree_axpy_bcast
+
+    def step(state: IntegratorState, step_size) -> IntegratorState:
+        q, p, _, g = state
+        p = tree_axpy_bcast(0.5 * step_size, g, p)
+        v = kinetic_grad_fn(p)
+        q = tree_axpy_bcast(step_size, v, q)
+        value, g = value_and_grad_fn(q)
+        p = tree_axpy_bcast(0.5 * step_size, g, p)
+        return IntegratorState(q, p, value, g)
+
+    return step
+
+
 def trajectory(
     integrator_step: Callable,
     num_steps,

@@ -59,6 +59,33 @@ def diagonal_metric(inv_mass: Params) -> Metric:
     return Metric(sample_momentum, kinetic_energy, kinetic_grad)
 
 
+def batched_diagonal_metric(inv_mass: Params) -> Metric:
+    """Diagonal metric over chain-batched pytrees: every leaf (of positions,
+    momenta, and ``inv_mass`` itself) carries a leading chain axis C, and
+    kinetic_energy returns a per-chain (C,) vector.
+
+    This is the metric for the chain-batched HMC kernel
+    (inference.hmc.build_batched_kernel), where all chains advance inside ONE
+    program so a fused multi-chain value_and_grad (ops/pallas_glm.py) can
+    serve them in a single dataset pass.
+    """
+    from .tree import tree_batched_dot
+
+    sqrt_mass = jax.tree_util.tree_map(lambda im: 1.0 / jnp.sqrt(im), inv_mass)
+
+    def sample_momentum(key, position):
+        eps = tree_randn_like(key, position)
+        return tree_mul(sqrt_mass, eps)
+
+    def kinetic_energy(momentum):
+        return 0.5 * tree_batched_dot(momentum, tree_mul(inv_mass, momentum))
+
+    def kinetic_grad(momentum):
+        return tree_mul(inv_mass, momentum)
+
+    return Metric(sample_momentum, kinetic_energy, kinetic_grad)
+
+
 def unit_metric(position_like: Params) -> Metric:
     """Identity mass matrix (the reference's only option)."""
     return diagonal_metric(tree_ones_like(position_like))

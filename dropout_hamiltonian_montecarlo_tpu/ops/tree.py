@@ -81,3 +81,33 @@ def tree_ravel(a):
 def tree_where(pred, a, b):
     """Leafwise select: pred ? a : b (pred is a scalar bool)."""
     return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _bcast(v, leaf):
+    """Reshape a (C,)-vector so it broadcasts against a (C, ...) leaf."""
+    v = jnp.asarray(v)
+    return v.reshape(v.shape + (1,) * (leaf.ndim - v.ndim))
+
+
+def tree_axpy_bcast(s, x, y):
+    """y + s * x where s is a per-chain (C,) vector and leaves carry a leading
+    chain axis (the chain-batched leapfrog update primitive)."""
+    return jax.tree_util.tree_map(lambda xi, yi: yi + _bcast(s, xi) * xi, x, y)
+
+
+def tree_where_bcast(pred, a, b):
+    """Leafwise select with a per-chain (C,) bool pred over (C, ...) leaves."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(_bcast(pred, x), x, y), a, b
+    )
+
+
+def tree_batched_dot(a, b):
+    """Per-chain inner product over (C, ...) leaves -> (C,) vector."""
+    leaves = jax.tree_util.tree_map(
+        lambda x, y: jnp.sum(
+            (x * y).reshape(x.shape[0], -1), axis=1
+        ),
+        a, b,
+    )
+    return jax.tree_util.tree_reduce(jnp.add, leaves)
