@@ -26,6 +26,7 @@ Extra detail goes to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -146,16 +147,58 @@ def main():
     log(f"warmup ({NUM_WARMUP} steps, incl compile): {time.time() - t0:.1f}s; "
         f"step sizes {np.asarray(warmres.step_size).round(4)}")
 
-    @jax.jit
-    def sample(states, step_sizes, inv_mass, key):
-        keys = jax.random.split(key, NUM_CHAINS)
+    # --- sampling: Pallas chain-batched kernel (one dataset pass per
+    # leapfrog step for ALL chains, ops/pallas_glm.py) on TPU; vmapped XLA
+    # path elsewhere / with BENCH_PALLAS=0 ---
+    use_pallas = (jax.default_backend() == "tpu"
+                  and os.environ.get("BENCH_PALLAS", "1") == "1")
+    log(f"sampling path: {'pallas fused batched' if use_pallas else 'xla vmapped'}")
 
-        def one_chain(s, ss, im, kk):
-            fixed = lambda k2, st: kernel(k2, st, ss, im)
-            _, (sts, infos) = run_inference(fixed, s, kk, NUM_SAMPLES)
-            return sts.position, infos
+    if use_pallas:
+        fused_q = model.make_fused_value_and_grad((X, y))
+        e_example = {
+            "weights": jnp.zeros((784, 10), jnp.float32),
+            "bias": jnp.zeros((10,), jnp.float32),
+        }
+        # grad of e -> logpost(qmap + unwhiten(e)) chains through the linear
+        # unwhiten map's transpose (exact, XLA-compiled)
+        unwhiten_t = jax.linear_transpose(metric.unwhiten, e_example)
 
-        return jax.vmap(one_chain)(states, step_sizes, inv_mass, keys)
+        def fused_vag_e(E):
+            dQ = jax.vmap(metric.unwhiten)(E)
+            Q = jax.tree_util.tree_map(lambda m_, d: m_[None] + d, qmap, dQ)
+            val, G = fused_q(Q)
+            gE = jax.vmap(lambda g: unwhiten_t(g)[0])(G)
+            return val, gE
+
+        kernel_b = hmc.build_batched_kernel(fused_vag_e,
+                                            NUM_INTEGRATION_STEPS)
+
+        @jax.jit
+        def sample(states, step_sizes, inv_mass, key):
+            st = hmc.batched_init(states.position, fused_vag_e)
+            keys = jax.random.split(key, NUM_SAMPLES)
+
+            def body(s, k):
+                ns, info = kernel_b(k, s, step_sizes, inv_mass)
+                return ns, (ns.position, info)
+
+            _, (pos, infos) = jax.lax.scan(body, st, keys)
+            # (T, C, ...) -> (C, T, ...) to match the vmapped layout
+            swap = lambda x: jnp.swapaxes(x, 0, 1)
+            return (jax.tree_util.tree_map(swap, pos),
+                    jax.tree_util.tree_map(swap, infos))
+    else:
+        @jax.jit
+        def sample(states, step_sizes, inv_mass, key):
+            keys = jax.random.split(key, NUM_CHAINS)
+
+            def one_chain(s, ss, im, kk):
+                fixed = lambda k2, st: kernel(k2, st, ss, im)
+                _, (sts, infos) = run_inference(fixed, s, kk, NUM_SAMPLES)
+                return sts.position, infos
+
+            return jax.vmap(one_chain)(states, step_sizes, inv_mass, keys)
 
     @jax.jit
     def ess_of(e_draws):

@@ -61,7 +61,8 @@ class Softmax(Model):
         return self.predict(params, X * mask, prob=prob)
 
     def make_fused_value_and_grad(self, batch, tile_rows: int = 1024,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  bwd_3pass: bool = False):
         """Chain-batched fused log-posterior value+grad via the Pallas TPU
         kernel (ops/pallas_glm.py): params leaves carry a leading chain axis
         ({'weights': (C,D,K), 'bias': (C,K)}), returns ((C,), batched grads)
@@ -74,7 +75,7 @@ class Softmax(Model):
         def vag(params):
             value, gw, gb = softmax_value_and_grad(
                 X, y, params["weights"], params["bias"], float(self.alpha),
-                tile_rows=tile_rows, interpret=interpret,
+                tile_rows=tile_rows, interpret=interpret, bwd_3pass=bwd_3pass,
             )
             return value, {"weights": gw, "bias": gb}
 

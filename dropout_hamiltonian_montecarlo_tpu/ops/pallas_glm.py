@@ -47,8 +47,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_DOT = jax.lax.Precision.DEFAULT
+
+
+def _split_bf16(a):
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a (the bf16x3 decomposition
+    XLA uses for Precision.HIGH — Mosaic only lowers DEFAULT/HIGHEST, so the
+    3-pass scheme is spelled out here with explicit bf16 MXU dots)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3(a, b):
+    """~f32-accurate matmul in 3 bf16 MXU passes: hi@hi + hi@lo + lo@hi."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    acc = jnp.dot(a_hi, b_hi, precision=_DOT,
+                  preferred_element_type=jnp.float32)
+    acc += jnp.dot(a_hi, b_lo, precision=_DOT,
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(a_lo, b_hi, precision=_DOT,
+                   preferred_element_type=jnp.float32)
+    return acc
+
+
 def _kernel(x_ref, y_ref, w_ref, b_ref, alpha_ref, nvalid_ref,
-            value_ref, gw_ref, gb_ref, *, n_classes: int):
+            value_ref, gw_ref, gb_ref, *, n_classes: int, bwd_3pass: bool):
     K = n_classes
     i = pl.program_id(0)
     TB = x_ref.shape[0]
@@ -63,7 +88,9 @@ def _kernel(x_ref, y_ref, w_ref, b_ref, alpha_ref, nvalid_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + row0
     valid = (rows < nvalid_ref[0]).astype(jnp.float32)   # (TB, 1)
 
-    z = jnp.dot(x, w_ref[:], preferred_element_type=jnp.float32)
+    # forward GEMM at bf16x3: the log-likelihood sums ~N*|logit| magnitudes,
+    # so single-pass bf16 noise would swamp the MH energy delta (PERF_NOTES)
+    z = _dot_bf16x3(x, w_ref[:])
     z = z + b_ref[:]                               # (TB, K*C)
 
     # per-(row, chain) stable softmax over the K contiguous (TB, C) blocks
@@ -87,11 +114,24 @@ def _kernel(x_ref, y_ref, w_ref, b_ref, alpha_ref, nvalid_ref,
     resid = jnp.concatenate(resid_blocks, axis=1)  # (TB, K*C)
 
     ll = jnp.sum(ll_acc, axis=0, keepdims=True)    # (1, C)
-    # backward GEMM fused into the same pass: (D, TB) @ (TB, K*C)
-    gw = jax.lax.dot_general(
-        x, resid, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                              # (D, K*C)
+
+    # backward GEMM fused into the same pass: (D, TB) @ (TB, K*C).
+    # Gradient noise only perturbs leapfrog proposals (MH accepts on the
+    # f32-accurate energies above), so single-pass bf16 is the default;
+    # bwd_3pass=True gives ~f32 gradients at 2 extra MXU passes.
+    dn = (((0,), (0,)), ((), ()))
+    x_hi, x_lo = _split_bf16(x)
+    r_hi, r_lo = _split_bf16(resid)
+    gw = jax.lax.dot_general(x_hi, r_hi, dimension_numbers=dn,
+                             precision=_DOT,
+                             preferred_element_type=jnp.float32)
+    if bwd_3pass:
+        gw += jax.lax.dot_general(x_hi, r_lo, dimension_numbers=dn,
+                                  precision=_DOT,
+                                  preferred_element_type=jnp.float32)
+        gw += jax.lax.dot_general(x_lo, r_hi, dimension_numbers=dn,
+                                  precision=_DOT,
+                                  preferred_element_type=jnp.float32)
     gb = jnp.sum(resid, axis=0, keepdims=True)     # (1, K*C)
 
     @pl.when(i == 0)
@@ -141,11 +181,14 @@ def softmax_value_and_grad(
     alpha: float,
     tile_rows: int = 1024,
     interpret: bool = False,
+    bwd_3pass: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused log-posterior value + gradient for all chains in one X pass.
 
     Returns (value (C,), grad_W (C, D, K), grad_b (C, K)) in float32.
-    ``interpret=True`` runs the kernel in Pallas interpret mode (CPU-testable).
+    The value is bf16x3 (~f32) accurate; gradients are single-pass bf16
+    unless ``bwd_3pass``.  ``interpret=True`` runs the kernel in Pallas
+    interpret mode (CPU-testable).
     """
     N, D = X.shape
     K = Y.shape[1]
@@ -161,7 +204,7 @@ def softmax_value_and_grad(
     nvalid = jnp.asarray([N], jnp.int32)
 
     value, gw2, gb2 = pl.pallas_call(
-        functools.partial(_kernel, n_classes=K),
+        functools.partial(_kernel, n_classes=K, bwd_3pass=bwd_3pass),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((tile_rows, D), lambda i: (i, 0),

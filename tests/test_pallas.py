@@ -45,30 +45,46 @@ def _data(key):
     return X, Y, W, b
 
 
-def _xla_vag(model, X, Y):
+def _xla_vag(model, X, Y, precision=None):
     ld = model.make_logdensity(batch=(X, Y))
-    return jax.vmap(jax.value_and_grad(ld))
+    f = jax.vmap(jax.value_and_grad(ld))
+    if precision is None:
+        return f
+
+    def wrapped(params):
+        with jax.default_matmul_precision(precision):
+            return f(params)
+
+    return wrapped
 
 
 @pytest.mark.parametrize("tile_rows", [128, 256])
-def test_fused_value_and_grad_matches_xla(tile_rows):
-    """Interpret-mode kernel == jax.value_and_grad, incl. ragged last tile."""
+@pytest.mark.parametrize("bwd_3pass", [False, True])
+def test_fused_value_and_grad_matches_xla(tile_rows, bwd_3pass):
+    """Interpret-mode kernel == jax.value_and_grad, incl. ragged last tile.
+
+    Values are always bf16x3 (~f32); gradients are exact-ish with
+    bwd_3pass=True and ~bf16 (0.4% rel) with the fast single-pass default."""
     X, Y, W, b = _data(jax.random.key(0))
     model = Softmax(dim=D, n_classes=K, alpha=ALPHA)
 
     val, gw, gb = softmax_value_and_grad(
-        X, Y, W, b, ALPHA, tile_rows=tile_rows, interpret=True
+        X, Y, W, b, ALPHA, tile_rows=tile_rows, interpret=True,
+        bwd_3pass=bwd_3pass,
     )
-    ref_val, ref_grad = _xla_vag(model, X, Y)(
+    # 'highest' reference: on TPU the DEFAULT f32 matmul is single-pass bf16,
+    # noisier than the kernel's bf16x3 values
+    ref_val, ref_grad = _xla_vag(model, X, Y, precision="highest")(
         {"weights": W, "bias": b}
     )
 
+    g_rtol, g_atol = (1e-3, 1e-3) if bwd_3pass else (2e-2, 2e-2)
     np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
-                               rtol=2e-5)
+                               rtol=3e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(ref_grad["weights"]),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=g_rtol, atol=g_atol)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ref_grad["bias"]),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=g_rtol, atol=g_atol)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
@@ -78,9 +94,12 @@ def test_fused_value_and_grad_compiled_tpu():
     model = Softmax(dim=D, n_classes=K, alpha=ALPHA)
 
     val, gw, gb = jax.jit(
-        lambda *a: softmax_value_and_grad(*a, ALPHA, tile_rows=128)
+        lambda *a: softmax_value_and_grad(*a, ALPHA, tile_rows=128,
+                                          bwd_3pass=True)
     )(X, Y, W, b)
-    ref_val, ref_grad = _xla_vag(model, X, Y)({"weights": W, "bias": b})
+    ref_val, ref_grad = _xla_vag(model, X, Y, precision="highest")(
+        {"weights": W, "bias": b}
+    )
 
     np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
                                rtol=1e-3)
@@ -163,8 +182,13 @@ def test_fused_kernel_drives_batched_hmc_interpret():
     ld = model.make_logdensity(batch=(X, Y))
 
     fused = model.make_fused_value_and_grad((X, Y), tile_rows=128,
-                                            interpret=True)
-    bvag = jax.vmap(jax.value_and_grad(ld))
+                                            interpret=True, bwd_3pass=True)
+    _bvag = jax.vmap(jax.value_and_grad(ld))
+
+    def bvag(params):
+        # 'highest' so the XLA reference is at least as accurate as bf16x3
+        with jax.default_matmul_precision("highest"):
+            return _bvag(params)
 
     positions = {"weights": 0.1 * W, "bias": 0.1 * b}
     inv_mass = tree_ones_like(positions)
@@ -184,8 +208,10 @@ def test_fused_kernel_drives_batched_hmc_interpret():
 
     f1, a1 = run(fused)
     f2, a2 = run(bvag)
-    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-3,
-                               atol=1e-4)
+    # bf16x3-vs-f32 energy noise moves acceptance probabilities a little;
+    # positions only change when an accept decision flips (none at these
+    # step sizes)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=5e-2)
     np.testing.assert_allclose(np.asarray(f1.position["weights"]),
                                np.asarray(f2.position["weights"]),
-                               rtol=1e-3, atol=1e-4)
+                               rtol=5e-3, atol=1e-3)
