@@ -13,16 +13,25 @@ Pipeline (see ops/kron_metric.py for the math):
      the true posterior curvature.
   3. HMC runs in WHITENED coordinates e = M^{1/2}(q - qmap): the posterior is
      near N(0, I) there, every array is O(1) in float32 (no mixed scales),
-     and warmup's diagonal mass adaptation absorbs residual anisotropy.
+     and dual averaging adapts per-chain step sizes.
   4. Draws map back to parameter space on-device; ESS is computed per
      parameter coordinate in PARAMETER space.
 
-Transfer rules for the tunneled TPU (observed ~1 MB/s D2H): the dataset is a
-jit ARGUMENT (never closed over — closure capture bakes 188 MB into the
-executable), and no (n, D) array ever crosses device->host.
+Execution (the TPU-first part): 128 chains advance together through ONE
+fused Pallas kernel per leapfrog step (ops/pallas_glm.py) — a single pass
+over the dataset produces value+grad for every chain, with chains folded
+into the MXU lane dimension (128*10 = 1280 lanes, perfectly tiled).  The
+dataset is 8-bit (k/256), hence exactly bf16-representable: the kernel's
+bf16 X carries zero rounding error.  Warmup runs on the SAME fused kernel
+with per-chain dual averaging (one compiled scan for all chains).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Extra detail goes to stderr.
+Transfer rules for the tunneled TPU (observed ~1 MB/s D2H): no (n, D) array
+ever crosses device->host; ESS is computed on device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+value = MEDIAN ESS/s over all 7850 parameter coordinates; detail carries the
+honest tails (p10/min ESS and ESS/s, the chains*draws saturation cap, and
+the amortized setup costs excluded from the rate).  Extra logging on stderr.
 """
 
 import json
@@ -35,11 +44,11 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-# 3-pass bf16 (~float32-accurate) matmuls: the TPU default single-pass bf16
-# puts O(10) noise into the |logdensity| ~ 1e5 sum (0.4% per logit), which
+# 3-pass bf16 (~float32-accurate) matmuls on the XLA path: the TPU default
+# single-pass bf16 puts O(10) noise into the |logdensity| ~ 1e5 sum, which
 # swamps the MH energy delta and collapses dual averaging (observed: step
-# size -> 1e-4, ESS -> 8).  "high" halves the GEMM cost vs "highest" with no
-# measurable ESS difference (see PERF_NOTES.md).
+# size -> 1e-4, ESS -> 8).  The Pallas kernel spells out the same bf16x3
+# scheme explicitly (ops/pallas_glm.py).
 jax.config.update("jax_default_matmul_precision", "high")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
@@ -49,7 +58,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-NUM_CHAINS = 16
+NUM_CHAINS = 128             # folds to 1280 MXU lanes = 10 perfect tiles
 NUM_WARMUP = 300
 NUM_SAMPLES = 1000
 NUM_INTEGRATION_STEPS = 12   # fixed-length: jitter halves mean trajectory
@@ -73,14 +82,13 @@ def main():
     )
     from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
 
-    t0 = time.time()
+    t_setup0 = time.time()
     X, yi = datasets.mnist()
     y = (yi[:, None] == jnp.arange(10)).astype(jnp.float32)
     X, y = jax.device_put(X), jax.device_put(y)
     jax.block_until_ready((X, y))
     model = Softmax(dim=784, n_classes=10, alpha=ALPHA)
-    log(f"data: {X.shape} ({time.time() - t0:.1f}s); "
-        f"params={784 * 10 + 10} chains={NUM_CHAINS}")
+    log(f"data: {X.shape}; params={784 * 10 + 10} chains={NUM_CHAINS}")
 
     # --- metric stage 1: uniform-Fisher Kronecker metric -> Newton MAP ---
     t0 = time.time()
@@ -111,94 +119,86 @@ def main():
     metric = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
                                          probs=probs)
     log(f"metric refresh @ MAP Fisher: {time.time() - t0:.1f}s")
+    t_setup = time.time() - t_setup0
 
     # --- whitened-space HMC: e = M^{1/2}(q - qmap), posterior ~ N(0, I) ---
     def logdensity_e(e):
         return logdensity(tree_add(qmap, metric.unwhiten(e)))
 
-    kernel = hmc.build_kernel(logdensity_e, NUM_INTEGRATION_STEPS,
-                              jitter_steps=False)
-
-    @jax.jit
-    def warm(key):
-        e_keys = jax.random.split(jax.random.fold_in(key, 0), NUM_CHAINS)
-        w_keys = jax.random.split(jax.random.fold_in(key, 1), NUM_CHAINS)
-
-        def one(ke, kw):
-            # Laplace init is exactly e ~ N(0, I) in whitened coordinates
-            e0 = {
-                "weights": jax.random.normal(ke, (784, 10), jnp.float32),
-                "bias": jax.random.normal(jax.random.fold_in(ke, 1), (10,),
-                                          jnp.float32),
-            }
-            state = hmc.init(e0, logdensity_e)
-            # adapt_mass=False: the Kronecker metric already whitens; Welford
-            # variance from short unmixed windows only degrades the scale
-            return run_warmup(kernel, state, kw, NUM_WARMUP,
-                              initial_step_size=0.1,
-                              target_acceptance=TARGET_ACCEPT,
-                              adapt_mass=False)
-
-        return jax.vmap(one)(e_keys, w_keys)
-
-    t0 = time.time()
-    warmres = warm(jax.random.key(1))
-    jax.block_until_ready(warmres.step_size)
-    log(f"warmup ({NUM_WARMUP} steps, incl compile): {time.time() - t0:.1f}s; "
-        f"step sizes {np.asarray(warmres.step_size).round(4)}")
-
-    # --- sampling: Pallas chain-batched kernel (one dataset pass per
-    # leapfrog step for ALL chains, ops/pallas_glm.py) on TPU; vmapped XLA
-    # path elsewhere / with BENCH_PALLAS=0 ---
     use_pallas = (jax.default_backend() == "tpu"
                   and os.environ.get("BENCH_PALLAS", "1") == "1")
-    log(f"sampling path: {'pallas fused batched' if use_pallas else 'xla vmapped'}")
+    log(f"compute path: {'pallas fused batched' if use_pallas else 'xla vmapped'}")
+
+    e_example = {
+        "weights": jnp.zeros((784, 10), jnp.float32),
+        "bias": jnp.zeros((10,), jnp.float32),
+    }
 
     if use_pallas:
         fused_q = model.make_fused_value_and_grad((X, y))
-        e_example = {
-            "weights": jnp.zeros((784, 10), jnp.float32),
-            "bias": jnp.zeros((10,), jnp.float32),
-        }
         # grad of e -> logpost(qmap + unwhiten(e)) chains through the linear
         # unwhiten map's transpose (exact, XLA-compiled)
         unwhiten_t = jax.linear_transpose(metric.unwhiten, e_example)
 
-        def fused_vag_e(E):
+        def batched_vag(E):
             dQ = jax.vmap(metric.unwhiten)(E)
             Q = jax.tree_util.tree_map(lambda m_, d: m_[None] + d, qmap, dQ)
             val, G = fused_q(Q)
             gE = jax.vmap(lambda g: unwhiten_t(g)[0])(G)
             return val, gE
-
-        kernel_b = hmc.build_batched_kernel(fused_vag_e,
-                                            NUM_INTEGRATION_STEPS)
-
-        @jax.jit
-        def sample(states, step_sizes, inv_mass, key):
-            st = hmc.batched_init(states.position, fused_vag_e)
-            keys = jax.random.split(key, NUM_SAMPLES)
-
-            def body(s, k):
-                ns, info = kernel_b(k, s, step_sizes, inv_mass)
-                return ns, (ns.position, info)
-
-            _, (pos, infos) = jax.lax.scan(body, st, keys)
-            # (T, C, ...) -> (C, T, ...) to match the vmapped layout
-            swap = lambda x: jnp.swapaxes(x, 0, 1)
-            return (jax.tree_util.tree_map(swap, pos),
-                    jax.tree_util.tree_map(swap, infos))
     else:
-        @jax.jit
-        def sample(states, step_sizes, inv_mass, key):
-            keys = jax.random.split(key, NUM_CHAINS)
+        _vag1 = jax.value_and_grad(logdensity_e)
+        batched_vag = jax.vmap(_vag1)
 
-            def one_chain(s, ss, im, kk):
-                fixed = lambda k2, st: kernel(k2, st, ss, im)
-                _, (sts, infos) = run_inference(fixed, s, kk, NUM_SAMPLES)
-                return sts.position, infos
+    kernel_b = hmc.build_batched_kernel(batched_vag, NUM_INTEGRATION_STEPS)
 
-            return jax.vmap(one_chain)(states, step_sizes, inv_mass, keys)
+    def laplace_init(key):
+        # Laplace init is exactly e ~ N(0, I) in whitened coordinates
+        ks = jax.random.split(key, 2)
+        return {
+            "weights": jax.random.normal(ks[0], (NUM_CHAINS, 784, 10),
+                                         jnp.float32),
+            "bias": jax.random.normal(ks[1], (NUM_CHAINS, 10), jnp.float32),
+        }
+
+    @jax.jit
+    def warm(key):
+        E0 = laplace_init(jax.random.fold_in(key, 0))
+        state = hmc.batched_init(E0, batched_vag)
+        # per-chain dual averaging on the SAME batched kernel: one compiled
+        # scan, one dataset pass per leapfrog step for all chains.
+        # adapt_mass=False: the Kronecker metric already whitens; Welford
+        # variance from short unmixed windows only degrades the scale.
+        return run_warmup(kernel_b, state, jax.random.fold_in(key, 1),
+                          NUM_WARMUP,
+                          initial_step_size=jnp.full((NUM_CHAINS,), 0.1,
+                                                     jnp.float32),
+                          target_acceptance=TARGET_ACCEPT,
+                          adapt_mass=False)
+
+    t0 = time.time()
+    warmres = warm(jax.random.key(1))
+    jax.block_until_ready(warmres.step_size)
+    t_warm = time.time() - t0
+    ss = np.asarray(warmres.step_size)
+    log(f"warmup ({NUM_WARMUP} steps, incl compile): {t_warm:.1f}s; "
+        f"step size median={np.median(ss):.4f} min={ss.min():.4f} "
+        f"max={ss.max():.4f}")
+
+    @jax.jit
+    def sample(states, step_sizes, inv_mass, key):
+        st = hmc.batched_init(states.position, batched_vag)
+        keys = jax.random.split(key, NUM_SAMPLES)
+
+        def body(s, k):
+            ns, info = kernel_b(k, s, step_sizes, inv_mass)
+            return ns, (ns.position, info)
+
+        _, (pos, infos) = jax.lax.scan(body, st, keys)
+        # (T, C, ...) -> (C, T, ...): chains leading, draws second
+        swap = lambda x: jnp.swapaxes(x, 0, 1)
+        return (jax.tree_util.tree_map(swap, pos),
+                jax.tree_util.tree_map(swap, infos))
 
     @jax.jit
     def ess_of(e_draws):
@@ -210,36 +210,73 @@ def main():
             effective_sample_size(q_draws["bias"]).ravel(),
         ])
 
+    import contextlib
+
+    from dropout_hamiltonian_montecarlo_tpu.utils.profiling import (
+        SamplerStats,
+        device_trace,
+    )
+
     t0 = time.time()
     e_draws, infos = sample(warmres.state, warmres.step_size,
                             warmres.inv_mass, jax.random.key(2))
     jax.block_until_ready(e_draws["bias"])
     log(f"sampling (incl compile): {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    e_draws, infos = sample(warmres.state, warmres.step_size,
-                            warmres.inv_mass, jax.random.key(3))
-    jax.block_until_ready(e_draws["bias"])
-    t_sample = time.time() - t0
-    ess = ess_of(e_draws)
-    jax.block_until_ready(ess)
+    trace_dir = os.environ.get("BENCH_TRACE")  # e.g. /tmp/bench_trace
+    ctx = device_trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    stats = SamplerStats(num_chains=NUM_CHAINS).start()
+    with ctx:
+        e_draws, infos = sample(warmres.state, warmres.step_size,
+                                warmres.inv_mass, jax.random.key(3))
+        jax.block_until_ready(e_draws["bias"])
+    stats.stop(draws=NUM_CHAINS * NUM_SAMPLES,
+               grad_evals=NUM_CHAINS * NUM_SAMPLES * NUM_INTEGRATION_STEPS)
+    t_sample = stats.seconds
+    ess = np.asarray(ess_of(e_draws))
 
     accept = float(np.asarray(infos.acceptance_prob).mean())
     div = float(np.asarray(infos.is_divergent).mean())
-    log(f"sampling+ESS: {t_sample:.2f}s for {NUM_CHAINS}x{NUM_SAMPLES} draws; "
+    log(f"sampling: {t_sample:.2f}s for {NUM_CHAINS}x{NUM_SAMPLES} draws; "
         f"accept={accept:.3f} divergent={div:.4f}")
 
-    ess = np.asarray(ess)
-    med_ess, min_ess = float(np.median(ess)), float(np.min(ess))
+    cap = NUM_CHAINS * NUM_SAMPLES
+    med_ess = float(np.median(ess))
+    p10_ess = float(np.percentile(ess, 10))
+    min_ess = float(np.min(ess))
+    frac_capped = float(np.mean(ess >= cap * 0.999))
     ess_per_sec = med_ess / t_sample
-    log(f"ESS: median={med_ess:.0f} min={min_ess:.0f} "
-        f"median ESS/s={ess_per_sec:.0f} min ESS/s={min_ess / t_sample:.0f}")
+    log(f"ESS: median={med_ess:.0f} p10={p10_ess:.0f} min={min_ess:.0f} "
+        f"(cap={cap}, {frac_capped:.0%} of coords at cap) | "
+        f"ESS/s: median={ess_per_sec:.0f} p10={p10_ess / t_sample:.0f} "
+        f"min={min_ess / t_sample:.0f}")
+    log(f"amortized (excluded from rate): setup {t_setup:.0f}s "
+        f"(Gram eigh + Newton MAP + metric), warmup {t_warm:.0f}s")
 
     print(json.dumps({
         "metric": "median_ess_per_sec_mnist_softmax_hmc",
         "value": round(ess_per_sec, 1),
         "unit": "eff_samples/s/chip",
         "vs_baseline": round(ess_per_sec / 1000.0, 3),
+        "detail": {
+            "chains": NUM_CHAINS,
+            "draws": NUM_SAMPLES,
+            "sample_seconds": round(t_sample, 2),
+            "ess_median": round(med_ess, 1),
+            "ess_p10": round(p10_ess, 1),
+            "ess_min": round(min_ess, 1),
+            "ess_cap_chains_x_draws": cap,
+            "frac_coords_at_cap": round(frac_capped, 4),
+            "ess_per_sec_p10": round(p10_ess / t_sample, 1),
+            "ess_per_sec_min": round(min_ess / t_sample, 1),
+            "acceptance": round(accept, 4),
+            "divergent_frac": round(div, 6),
+            "draws_per_sec": round(stats.draws_per_sec, 1),
+            "grad_evals_per_sec": round(stats.grads_per_sec, 1),
+            "amortized_setup_seconds": round(t_setup, 1),
+            "amortized_warmup_seconds": round(t_warm, 1),
+            "path": "pallas" if use_pallas else "xla",
+        },
     }))
 
 

@@ -28,14 +28,51 @@ def _common(p: argparse.ArgumentParser):
     p.add_argument("--step-size", type=float, default=0.1)
     p.add_argument("--save", type=str, default=None,
                    help="write posterior draws to this HDF5 file")
+    p.add_argument("--stream-chunk", type=int, default=0,
+                   help="with --save: spool draws to the HDF5 file in chunks "
+                        "of this many draws DURING sampling (bounded HBM for "
+                        "long runs) instead of materializing all draws first")
 
 
-def _save_and_summarize(args, positions, elapsed):
+def _run_chains(args, init_fn, kernel, positions, key):
+    """sample_posterior, or the streaming variant when --save + --stream-chunk
+    are set (chunked device->host spooling, reference parity:
+    cpu/sgld_multicore.py:38-57).  Returns positions with (chains, draws, ...)
+    leading axes either way (streaming reads them back from the file)."""
+    import jax
+    import numpy as np
+    from .inference.sampling import (
+        sample_posterior,
+        sample_posterior_streaming,
+    )
+
+    if args.save and args.stream_chunk > 0:
+        from .io import HDF5Backend
+
+        with HDF5Backend(args.save, mode="w") as b:
+            sample_posterior_streaming(
+                init_fn, kernel, positions, key, b,
+                num_samples=args.samples, chunk_size=args.stream_chunk,
+                num_warmup=args.warmup, num_chains=args.chains,
+                initial_step_size=args.step_size,
+            )
+            stored = b.read()
+        # (draws, chains, ...) on disk -> (chains, draws, ...) for diagnostics
+        return {k: np.swapaxes(v, 0, 1) for k, v in stored.items()}, True
+    post = sample_posterior(init_fn, kernel, positions, key,
+                            num_samples=args.samples, num_warmup=args.warmup,
+                            num_chains=args.chains,
+                            initial_step_size=args.step_size)
+    jax.block_until_ready(post.positions)
+    return post.positions, False
+
+
+def _save_and_summarize(args, positions, elapsed, already_saved=False):
     import jax
     import numpy as np
     from .diagnostics import summarize
 
-    if args.save:
+    if args.save and not already_saved:
         from .io import HDF5Backend
 
         with HDF5Backend(args.save) as b:
@@ -70,12 +107,9 @@ def cmd_mvn_hmc(args):
     positions = init_chain_positions(model.init_params, key, args.chains,
                                      jitter=1.0)
     t0 = time.time()
-    post = sample_posterior(init_fn, kernel, positions, key,
-                            num_samples=args.samples, num_warmup=args.warmup,
-                            num_chains=args.chains,
-                            initial_step_size=args.step_size)
-    jax.block_until_ready(post.positions)
-    agg = _save_and_summarize(args, post.positions, time.time() - t0)
+    draws, streamed = _run_chains(args, init_fn, kernel, positions, key)
+    agg = _save_and_summarize(args, draws, time.time() - t0,
+                              already_saved=streamed)
     agg["workload"] = "mvn-hmc"
     print(json.dumps(agg))
 
@@ -97,18 +131,16 @@ def cmd_logistic_hmc(args):
     positions = init_chain_positions(model.init_params, key, args.chains,
                                      jitter=0.5)
     t0 = time.time()
-    post = sample_posterior(init_fn, kernel, positions, key,
-                            num_samples=args.samples, num_warmup=args.warmup,
-                            num_chains=args.chains,
-                            initial_step_size=args.step_size)
-    jax.block_until_ready(post.positions)
+    draws, streamed = _run_chains(args, init_fn, kernel, positions, key)
     elapsed = time.time() - t0
 
     import jax.numpy as jnp
-    import numpy as np
-    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=(0, 1)), post.positions)
+    # draws is the in-memory pytree or the read-back dict (flat param names
+    # either way: the models' params are single-level dicts)
+    pm = jax.tree_util.tree_map(lambda x: jnp.asarray(x).mean(axis=(0, 1)),
+                                draws)
     acc = float(jnp.mean((model.predict(pm, Xte) == yte).astype(jnp.float32)))
-    agg = _save_and_summarize(args, post.positions, elapsed)
+    agg = _save_and_summarize(args, draws, elapsed, already_saved=streamed)
     agg.update({"workload": "logistic-hmc", "test_accuracy": acc})
     print(json.dumps(agg))
 
@@ -132,17 +164,23 @@ def cmd_mnist_nuts(args):
     key = jax.random.key(args.seed)
     positions = init_chain_positions(model.init_params, key, args.chains)
     t0 = time.time()
-    post = sample_posterior(init_fn, kernel, positions, key,
-                            num_samples=args.samples, num_warmup=args.warmup,
-                            num_chains=args.chains,
-                            initial_step_size=args.step_size)
-    jax.block_until_ready(post.positions)
+    draws, streamed = _run_chains(args, init_fn, kernel, positions, key)
     elapsed = time.time() - t0
 
-    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=(0, 1)), post.positions)
+    pm = jax.tree_util.tree_map(lambda x: jnp.asarray(x).mean(axis=(0, 1)),
+                                draws)
     acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
-    agg = _save_and_summarize(args, post.positions, elapsed)
-    agg.update({"workload": "mnist-nuts", "train_accuracy": acc})
+    # posterior-predictive calibration (BASELINE: accuracy AND calibration)
+    from .diagnostics import calibration_report, posterior_predictive_probs
+    pp = posterior_predictive_probs(
+        lambda p, x: model.predict(p, x, prob=True),
+        jax.tree_util.tree_map(jnp.asarray, draws), X, max_draws=32)
+    cal = calibration_report(pp, yi)
+    agg = _save_and_summarize(args, draws, elapsed, already_saved=streamed)
+    agg.update({"workload": "mnist-nuts", "train_accuracy": acc,
+                "predictive_accuracy": cal["accuracy"],
+                "predictive_ece": round(cal["ece"], 4),
+                "predictive_nll": round(cal["nll"], 4)})
     print(json.dumps(agg))
 
 
@@ -178,9 +216,19 @@ def cmd_mnist_mlp_sgmcmc(args):
 
     pm = jax.tree_util.tree_map(lambda x: x.mean(axis=0), positions)
     acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
+    # posterior-predictive calibration over the collected SG-MCMC draws
+    from .diagnostics import calibration_report, posterior_predictive_probs
+    pp = posterior_predictive_probs(
+        lambda p, x: model.predict(p, x, prob=True),
+        jax.tree_util.tree_map(lambda a: a[None], positions),  # add chain axis
+        X, max_draws=32)
+    cal = calibration_report(pp, yi)
     print(json.dumps({
         "workload": f"mnist-mlp-{args.algorithm}",
         "train_accuracy": acc,
+        "predictive_accuracy": cal["accuracy"],
+        "predictive_ece": round(cal["ece"], 4),
+        "predictive_nll": round(cal["nll"], 4),
         "elapsed_s": round(elapsed, 2),
         "steps_per_sec": round(args.num_steps / elapsed, 1),
     }))
@@ -221,8 +269,16 @@ def cmd_plantvillage_smc(args):
 
     pm = jax.tree_util.tree_map(lambda x: x.mean(axis=0), state.particles)
     acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
+    from .diagnostics import calibration_report, posterior_predictive_probs
+    pp = posterior_predictive_probs(
+        lambda p, x: model.predict(p, x, prob=True),
+        jax.tree_util.tree_map(lambda a: a[None], state.particles),
+        X, max_draws=32)
+    cal = calibration_report(pp, yi)
     print(json.dumps({
         "workload": "plantvillage-smc",
+        "predictive_accuracy": cal["accuracy"],
+        "predictive_ece": round(cal["ece"], 4),
         "train_accuracy": acc,
         "num_stages": int(info.num_stages),
         "log_evidence": float(state.log_evidence),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Callable, NamedTuple
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 
 from ..ops.tree import tree_randn_like, tree_where
@@ -37,26 +38,39 @@ def init(position: Params, logdensity_fn: Callable) -> MHState:
     return MHState(position, logdensity_fn(position))
 
 
-def build_kernel(logdensity_fn: Callable, jitter_scale: bool = True):
+def build_kernel(logdensity_fn: Callable, jitter_scale: bool = True,
+                 coordinate_wise: bool = False):
     """Returns step(key, state, scale) -> (state, info).
 
     With jitter_scale=True each step multiplies the proposal scale by
     exp(U(-1,1)) — the reference's random log-uniform scale factor
     (cpu/metropolis.py:53-57) which helps traverse multi-scale targets.
+
+    With coordinate_wise=True each step perturbs exactly ONE uniformly
+    chosen coordinate — the reference's sequential single-coordinate update
+    mode (cpu/metropolis.py:58-62), expressed as a one-hot mask on the
+    flattened parameter vector instead of host control flow.
     """
 
     def step(key, state: MHState, scale):
-        k_scale, k_prop, k_accept = jax.random.split(key, 3)
+        k_scale, k_prop, k_accept, k_coord = jax.random.split(key, 4)
         if jitter_scale:
             factor = jnp.exp(jax.random.uniform(k_scale, minval=-1.0, maxval=1.0))
         else:
             factor = 1.0
         eff_scale = scale * factor
 
-        noise = tree_randn_like(k_prop, state.position)
-        proposal = jax.tree_util.tree_map(
-            lambda q, e: q + eff_scale * e, state.position, noise
-        )
+        if coordinate_wise:
+            flat, unravel = jax.flatten_util.ravel_pytree(state.position)
+            idx = jax.random.randint(k_coord, (), 0, flat.size)
+            e = jnp.zeros_like(flat).at[idx].set(
+                jax.random.normal(k_prop, dtype=flat.dtype))
+            proposal = unravel(flat + eff_scale * e)
+        else:
+            noise = tree_randn_like(k_prop, state.position)
+            proposal = jax.tree_util.tree_map(
+                lambda q, e: q + eff_scale * e, state.position, noise
+            )
         proposal_logdensity = logdensity_fn(proposal)
 
         delta = proposal_logdensity - state.logdensity

@@ -101,3 +101,67 @@ def init_chain_positions(init_params_fn: Callable, key: jax.Array,
 
         positions = jax.vmap(add_noise)(jkeys, positions)
     return positions
+
+
+def sample_posterior_streaming(
+    init_fn: Callable,
+    kernel: Callable,
+    initial_positions: Params,
+    key: jax.Array,
+    backend,                    # io.HDF5Backend (or anything with .append)
+    num_samples: int,
+    chunk_size: int = 100,
+    num_warmup: int = 500,
+    num_chains: int = 1,
+    initial_step_size: float = 0.1,
+    target_acceptance: float = 0.8,
+):
+    """Warmup once, then sample in CHUNKS, spooling each chunk's draws to the
+    backend while sampling continues — the reference streams every draw to
+    per-worker HDF5 files (cpu/sgld_multicore.py:38-57); here one
+    device->host transfer per chunk keeps draws bounded in HBM so long runs
+    never materialize the full (chains, draws, params) block on device.
+
+    Backend datasets get shape (total_draws, num_chains, ...): draws leading
+    so appends are resizes on axis 0; read back and transpose for per-chain
+    diagnostics.  Returns (final_states, step_size, inv_mass, num_appended).
+    """
+    warm_key, sample_key = jax.random.split(key)
+
+    @jax.jit
+    def warm_all(keys, positions):
+        def one(k, p):
+            st = init_fn(p)
+            w = run_warmup(kernel, st, k, num_warmup,
+                           initial_step_size=initial_step_size,
+                           target_acceptance=target_acceptance)
+            return w.state, w.step_size, w.inv_mass
+
+        return jax.vmap(one)(keys, positions)
+
+    keys = jax.random.split(warm_key, num_chains)
+    states, step_sizes, inv_mass = warm_all(keys, initial_positions)
+
+    @jax.jit
+    def run_chunk(states, k):
+        def one(s, kk, ss, im):
+            def fixed(k2, st):
+                return kernel(k2, st, ss, im)
+
+            fs, (sts, _) = run_inference(fixed, s, kk, chunk_size)
+            return fs, sts.position
+
+        ks = jax.random.split(k, num_chains)
+        return jax.vmap(one)(states, ks, step_sizes, inv_mass)
+
+    appended = 0
+    n_chunks = -(-num_samples // chunk_size)
+    for i in range(n_chunks):
+        states, pos = run_chunk(states, jax.random.fold_in(sample_key, i))
+        take = min(chunk_size, num_samples - appended)
+        # (chains, chunk, ...) -> (chunk, chains, ...), draws leading
+        block = jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1)[:take], pos)
+        backend.append(block)            # one D2H transfer per chunk
+        appended += take
+    return states, step_sizes, inv_mass, appended

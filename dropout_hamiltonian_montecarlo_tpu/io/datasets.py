@@ -63,14 +63,18 @@ def mnist(path: Optional[str] = None, split: str = "train"):
             X = np.asarray(f[f"X_{split}"], np.float32)
             y = np.asarray(f[f"y_{split}"]).astype(np.int32)
         if X.max() > 1.5:
-            X = X / 255.0
+            # /256 (not /255): 8-bit pixels k/256 are EXACTLY
+            # bf16-representable, so the Pallas kernel's bf16 X carries no
+            # rounding error and skips the Xl correction pass
+            # (ops/pallas_glm.py:split_bf16_input)
+            X = X / 256.0
         if y.ndim == 2:  # one-hot stored
             y = y.argmax(-1).astype(np.int32)
         return jnp.asarray(X.reshape(X.shape[0], -1)), jnp.asarray(y)
 
     n = 60000 if split == "train" else 10000
     cache = os.path.join(os.path.dirname(__file__), "..", "..", ".data_cache")
-    cache_file = os.path.join(cache, f"mnist_synth_v2_{split}.npz")
+    cache_file = os.path.join(cache, f"mnist_synth_v3_{split}.npz")
     if os.path.exists(cache_file):
         z = np.load(cache_file)
         return jnp.asarray(z["X"]), jnp.asarray(z["y"])
@@ -89,6 +93,9 @@ def mnist(path: Optional[str] = None, split: str = "train"):
     flip = rng.rand(n) < 0.04
     y = np.where(flip, rng.randint(0, 10, size=n), y).astype(np.int32)
     X = np.clip(X, 0.0, 1.0)
+    # quantize to the 8-bit grid k/256 — same precision as real MNIST pixels
+    # and exactly bf16-representable (see the /256 note above)
+    X = np.round(X * 256.0) / 256.0
     try:
         os.makedirs(cache, exist_ok=True)
         np.savez(cache_file, X=X, y=y)

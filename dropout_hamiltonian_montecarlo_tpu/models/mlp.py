@@ -34,23 +34,29 @@ class DropoutMLP(Model):
     # ---- forward ------------------------------------------------------------
 
     def logits(self, params, X, key: Optional[jax.Array] = None):
-        """Forward pass; with a key, applies dropout after each hidden layer and
-        before the output (matching the reference's placement, gpu/mlp.py:19-31).
-        Without a key the pass is deterministic (no mask, no rescale — the
-        reference's Chainer eval mode)."""
+        """Forward pass; with a key, applies dropout PRE-ReLU on each hidden
+        linear output and once more before the output layer — exactly the
+        reference's placement (gpu/mlp.py:29-31: relu(dropout(l1(x))),
+        relu(dropout(l2(h))), l3(dropout(h))).  Without a key the pass is
+        deterministic (no mask, no rescale — the reference's Chainer eval
+        mode)."""
         keep = 1.0 - self.p_drop
 
         def drop(k, h):
             mask = jax.random.bernoulli(k, keep, h.shape)
             return jnp.where(mask, h / keep, 0.0).astype(h.dtype)
 
-        h = jax.nn.relu(X @ params["W1"] + params["b1"])
         if key is not None:
             k1, k2, k3 = jax.random.split(key, 3)
-            h = drop(k1, h)
-        h = jax.nn.relu(h @ params["W2"] + params["b2"])
+
+        z = X @ params["W1"] + params["b1"]
         if key is not None:
-            h = drop(k2, h)
+            z = drop(k1, z)
+        h = jax.nn.relu(z)
+        z = h @ params["W2"] + params["b2"]
+        if key is not None:
+            z = drop(k2, z)
+        h = jax.nn.relu(z)
         if key is not None:
             h = drop(k3, h)
         return h @ params["W3"] + params["b3"]

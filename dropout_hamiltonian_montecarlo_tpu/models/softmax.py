@@ -60,22 +60,25 @@ class Softmax(Model):
         mask = jax.random.bernoulli(key, 1.0 - p_drop, X.shape).astype(X.dtype)
         return self.predict(params, X * mask, prob=prob)
 
-    def make_fused_value_and_grad(self, batch, tile_rows: int = 1024,
+    def make_fused_value_and_grad(self, batch, tile_rows: int = 512,
                                   interpret: bool = False,
                                   bwd_3pass: bool = False):
         """Chain-batched fused log-posterior value+grad via the Pallas TPU
         kernel (ops/pallas_glm.py): params leaves carry a leading chain axis
         ({'weights': (C,D,K), 'bias': (C,K)}), returns ((C,), batched grads)
         with ONE pass over X per call — feeds
-        inference.hmc.build_batched_kernel."""
-        from ..ops.pallas_glm import softmax_value_and_grad
+        inference.hmc.build_batched_kernel.  The dataset's bf16 (hi, lo)
+        split is precomputed here, once, not per leapfrog step."""
+        from ..ops.pallas_glm import softmax_value_and_grad, split_bf16_input
 
         X, y = batch
+        x_split = split_bf16_input(X)
 
         def vag(params):
             value, gw, gb = softmax_value_and_grad(
-                X, y, params["weights"], params["bias"], float(self.alpha),
+                None, y, params["weights"], params["bias"], float(self.alpha),
                 tile_rows=tile_rows, interpret=interpret, bwd_3pass=bwd_3pass,
+                x_split=x_split,
             )
             return value, {"weights": gw, "bias": gb}
 

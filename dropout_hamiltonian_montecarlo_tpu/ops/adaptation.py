@@ -36,12 +36,15 @@ class DualAveragingState(NamedTuple):
 
 
 def dual_averaging_init(initial_step_size) -> DualAveragingState:
+    """Scalar step size -> one DA state; (C,) step sizes -> C independent
+    per-chain DA states (all fields broadcast to the step-size shape, so the
+    state threads through lax.scan with a chain axis unchanged)."""
     log_eps0 = jnp.log(jnp.asarray(initial_step_size, jnp.float32))
     return DualAveragingState(
         log_step=log_eps0,
         log_step_avg=log_eps0,
-        gradient_avg=jnp.float32(0.0),
-        count=jnp.float32(0.0),
+        gradient_avg=jnp.zeros_like(log_eps0),
+        count=jnp.zeros_like(log_eps0),
         mu=jnp.log(10.0) + log_eps0,
     )
 

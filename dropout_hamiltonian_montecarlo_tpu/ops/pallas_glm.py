@@ -13,24 +13,34 @@ tile of rows compute logits -> softmax -> residual in VMEM and immediately
 accumulate both the log-likelihood and X_tile^T @ residual.  This kernel does
 that for ALL chains at once, reading X exactly once per value+grad.
 
+Precision scheme (bf16x3): Mosaic only lowers DEFAULT/HIGHEST matmul
+precision, so the ~f32-accurate 3-pass bf16 decomposition XLA uses for
+Precision.HIGH is spelled out with explicit bf16 MXU dots.  Crucially the
+dataset X is split into its (hi, lo) bf16 pair ONCE, outside the kernel
+(``split_bf16_input``) — X is constant across every leapfrog step of a
+sampling run, so per-step in-kernel splitting of the largest tensor would be
+pure VPU waste (measured: 3.2 -> ~1 ms/step at MNIST bench shapes).  The
+total HBM traffic for X is unchanged (two bf16 halves = one f32).
+
 Layout (everything 2-D — no reshapes/transposes inside the kernel, which
 Mosaic would turn into relayouts):
 
-  X   (N, D)                      row-tiled over the grid
-  Y   (N, K) one-hot              row-tiled
-  W2  (D, K*C)                    chains folded into lanes: column k*C + c is
-                                  class k of chain c (fold done by the wrapper)
-  b2  (1, K*C)
+  X_hi/X_lo  (N, D) bf16            row-tiled over the grid
+  Y          (N, K) one-hot f32     row-tiled
+  W2h/W2l    (D, K*C) bf16          chains folded into lanes: column k*C + c
+                                    is class k of chain c (fold by the wrapper)
+  b2         (1, K*C) f32
 
 Per-class slices z[:, k*C:(k+1)*C] are contiguous (TB, C) lane blocks, so the
 row-local softmax over K classes is K-1 elementwise max/add ops on (TB, C)
 blocks — per-chain numerically stable (each chain subtracts its own max).
 Both GEMMs run on the MXU with chains folded into the output lane dimension.
 
-Outputs: value (1, C), grad_W2 (D, K*C), grad_b2 (1, K*C) — value/grad of the
-LOG POSTERIOR (Gaussian prior included), matching jax.value_and_grad of
-models.softmax.Softmax.log_posterior (reference analytic form:
-/root/reference/hamiltonian/models/cpu/softmax.py:45-61).
+The kernel produces the LOG-LIKELIHOOD value (1, C) and gradients (D, K*C),
+(1, K*C); the (cheap, elementwise) Gaussian-prior terms are added by the XLA
+wrapper so they are exact f32 and fused by XLA.  End result matches
+jax.value_and_grad of models.softmax.Softmax.log_posterior (reference
+analytic form: /root/reference/hamiltonian/models/cpu/softmax.py:45-61).
 
 Grid is 1-D over row tiles; accumulation across sequential grid steps happens
 in the revisited output blocks — the standard TPU reduction pattern.
@@ -39,7 +49,7 @@ in the revisited output blocks — the standard TPU reduction pattern.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,48 +60,76 @@ from jax.experimental.pallas import tpu as pltpu
 _DOT = jax.lax.Precision.DEFAULT
 
 
+def _round_to_bf16_f32(a: jnp.ndarray) -> jnp.ndarray:
+    """Round f32 to the bf16 grid (RNE) via integer mantissa masking,
+    returning f32.  An astype round-trip would be folded away under
+    --xla_allow_excess_precision (set in this environment), silently zeroing
+    the lo term of the bf16x3 split; bit ops are opaque to that rewrite and
+    Mosaic lowers them (lax.reduce_precision it does not)."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    rounded = bits + jnp.uint32(0x7FFF) + ((bits >> 16) & jnp.uint32(1))
+    return jax.lax.bitcast_convert_type(rounded & jnp.uint32(0xFFFF0000),
+                                        jnp.float32)
+
+
 def _split_bf16(a):
-    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a (the bf16x3 decomposition
-    XLA uses for Precision.HIGH — Mosaic only lowers DEFAULT/HIGHEST, so the
-    3-pass scheme is spelled out here with explicit bf16 MXU dots)."""
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    """f32 -> (hi, lo) bf16 pair with hi + lo ~= a."""
+    hi_f32 = _round_to_bf16_f32(a)
+    lo = (a - hi_f32).astype(jnp.bfloat16)
+    return hi_f32.astype(jnp.bfloat16), lo
+
+
+def split_bf16_input(X: jnp.ndarray) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Precompute the (hi, lo) bf16 pair of a constant input ONCE (outside
+    the sampling scan).  Same total bytes as the f32 original.
+
+    When X is EXACTLY bf16-representable — e.g. MNIST pixels k/256 with
+    k in 0..255 (8-bit data scaled by a power of two) — lo is identically
+    zero; this returns (hi, None) and the kernel skips the Xl GEMM pass and
+    its HBM stream entirely (one fewer MXU pass per leapfrog step)."""
+    Xf = jnp.asarray(X, jnp.float32)
+    hi, lo = _split_bf16(Xf)
+    if not isinstance(Xf, jax.core.Tracer):
+        if float(jnp.max(jnp.abs(lo.astype(jnp.float32)))) == 0.0:
+            return hi, None
     return hi, lo
 
 
-def _dot_bf16x3(a, b):
-    """~f32-accurate matmul in 3 bf16 MXU passes: hi@hi + hi@lo + lo@hi."""
-    a_hi, a_lo = _split_bf16(a)
-    b_hi, b_lo = _split_bf16(b)
-    acc = jnp.dot(a_hi, b_hi, precision=_DOT,
-                  preferred_element_type=jnp.float32)
-    acc += jnp.dot(a_hi, b_lo, precision=_DOT,
-                   preferred_element_type=jnp.float32)
-    acc += jnp.dot(a_lo, b_hi, precision=_DOT,
-                   preferred_element_type=jnp.float32)
-    return acc
-
-
-def _kernel(x_ref, y_ref, w_ref, b_ref, alpha_ref, nvalid_ref,
-            value_ref, gw_ref, gb_ref, *, n_classes: int, bwd_3pass: bool):
+def _kernel(*refs, n_classes: int, bwd_3pass: bool, has_xlo: bool):
+    if has_xlo:
+        (xh_ref, xl_ref, y_ref, wh_ref, wl_ref, b_ref, nvalid_ref,
+         value_ref, gw_ref, gb_ref) = refs
+    else:
+        (xh_ref, y_ref, wh_ref, wl_ref, b_ref, nvalid_ref,
+         value_ref, gw_ref, gb_ref) = refs
+        xl_ref = None
     K = n_classes
     i = pl.program_id(0)
-    TB = x_ref.shape[0]
-    D, CK = w_ref.shape
+    TB = xh_ref.shape[0]
+    D, CK = wh_ref.shape
     C = CK // K
 
-    x = x_ref[:]                                   # (TB, D)
-    y = y_ref[:]                                   # (TB, K)
+    xh = xh_ref[:]                                 # (TB, D) bf16
+    y = y_ref[:]                                   # (TB, K) f32
 
     # mask rows beyond the true dataset size (last-tile padding)
     row0 = i * TB
     rows = jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0) + row0
     valid = (rows < nvalid_ref[0]).astype(jnp.float32)   # (TB, 1)
 
-    # forward GEMM at bf16x3: the log-likelihood sums ~N*|logit| magnitudes,
-    # so single-pass bf16 noise would swamp the MH energy delta (PERF_NOTES)
-    z = _dot_bf16x3(x, w_ref[:])
-    z = z + b_ref[:]                               # (TB, K*C)
+    # forward GEMM at bf16x3 (~f32): the log-likelihood sums ~N*|logit|
+    # magnitudes, so single-pass bf16 noise would swamp the MH energy delta.
+    # With an exactly-representable X (has_xlo=False) the Xl pass vanishes
+    # and 2 passes already give the full bf16x3 accuracy.
+    wh = wh_ref[:]
+    z = jnp.dot(xh, wh, precision=_DOT, preferred_element_type=jnp.float32)
+    z += jnp.dot(xh, wl_ref[:], precision=_DOT,
+                 preferred_element_type=jnp.float32)
+    if has_xlo:
+        xl = xl_ref[:]                             # (TB, D) bf16
+        z += jnp.dot(xl, wh, precision=_DOT,
+                     preferred_element_type=jnp.float32)
+    z = z + b_ref[:]                               # (TB, K*C) f32
 
     # per-(row, chain) stable softmax over the K contiguous (TB, C) blocks
     blocks = [z[:, k * C:(k + 1) * C] for k in range(K)]
@@ -120,35 +158,25 @@ def _kernel(x_ref, y_ref, w_ref, b_ref, alpha_ref, nvalid_ref,
     # f32-accurate energies above), so single-pass bf16 is the default;
     # bwd_3pass=True gives ~f32 gradients at 2 extra MXU passes.
     dn = (((0,), (0,)), ((), ()))
-    x_hi, x_lo = _split_bf16(x)
     r_hi, r_lo = _split_bf16(resid)
-    gw = jax.lax.dot_general(x_hi, r_hi, dimension_numbers=dn,
+    gw = jax.lax.dot_general(xh, r_hi, dimension_numbers=dn,
                              precision=_DOT,
                              preferred_element_type=jnp.float32)
     if bwd_3pass:
-        gw += jax.lax.dot_general(x_hi, r_lo, dimension_numbers=dn,
+        gw += jax.lax.dot_general(xh, r_lo, dimension_numbers=dn,
                                   precision=_DOT,
                                   preferred_element_type=jnp.float32)
-        gw += jax.lax.dot_general(x_lo, r_hi, dimension_numbers=dn,
-                                  precision=_DOT,
-                                  preferred_element_type=jnp.float32)
+        if has_xlo:
+            gw += jax.lax.dot_general(xl, r_hi, dimension_numbers=dn,
+                                      precision=_DOT,
+                                      preferred_element_type=jnp.float32)
     gb = jnp.sum(resid, axis=0, keepdims=True)     # (1, K*C)
 
     @pl.when(i == 0)
     def _():
-        # initialize outputs with the prior terms (counted exactly once)
-        alpha = alpha_ref[0]
-        w = w_ref[:].astype(jnp.float32)
-        b = b_ref[:].astype(jnp.float32)
-        colsq = jnp.sum(w * w, axis=0, keepdims=True) + b * b   # (1, K*C)
-        sq = colsq[:, 0:C]
-        for k in range(1, K):
-            sq = sq + colsq[:, k * C:(k + 1) * C]               # (1, C)
-        nparam = jnp.float32(D * K + K)
-        value_ref[:] = (0.5 * nparam * jnp.log(alpha / (2.0 * jnp.pi))
-                        - 0.5 * alpha * sq)
-        gw_ref[:] = -alpha * w
-        gb_ref[:] = -alpha * b
+        value_ref[:] = jnp.zeros_like(value_ref)
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+        gb_ref[:] = jnp.zeros_like(gb_ref)
 
     value_ref[:] = value_ref[:] + ll
     gw_ref[:] = gw_ref[:] + gw
@@ -174,50 +202,65 @@ def unfold_chain_grads(gw2: jnp.ndarray, gb2: jnp.ndarray, n_classes: int):
 
 
 def softmax_value_and_grad(
-    X: jnp.ndarray,          # (N, D)
-    Y: jnp.ndarray,          # (N, K) one-hot
-    W: jnp.ndarray,          # (C, D, K)
-    b: jnp.ndarray,          # (C, K)
+    X: Optional[jnp.ndarray],  # (N, D) f32, or None when x_split is given
+    Y: jnp.ndarray,            # (N, K) one-hot
+    W: jnp.ndarray,            # (C, D, K)
+    b: jnp.ndarray,            # (C, K)
     alpha: float,
-    tile_rows: int = 1024,
+    tile_rows: int = 512,
     interpret: bool = False,
     bwd_3pass: bool = False,
+    x_split: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused log-posterior value + gradient for all chains in one X pass.
 
     Returns (value (C,), grad_W (C, D, K), grad_b (C, K)) in float32.
     The value is bf16x3 (~f32) accurate; gradients are single-pass bf16
     unless ``bwd_3pass``.  ``interpret=True`` runs the kernel in Pallas
-    interpret mode (CPU-testable).
+    interpret mode (CPU-testable).  Pass ``x_split=split_bf16_input(X)``
+    (precomputed once) to avoid re-splitting the dataset per call.
     """
-    N, D = X.shape
+    if x_split is None:
+        x_split = split_bf16_input(X)
+    Xh, Xl = x_split
+    has_xlo = Xl is not None
+    N, D = Xh.shape
     K = Y.shape[1]
     C = W.shape[0]
     n_tiles = pl.cdiv(N, tile_rows)
     N_pad = n_tiles * tile_rows
     if N_pad != N:
-        X = jnp.pad(X, ((0, N_pad - N), (0, 0)))
+        Xh = jnp.pad(Xh, ((0, N_pad - N), (0, 0)))
+        if has_xlo:
+            Xl = jnp.pad(Xl, ((0, N_pad - N), (0, 0)))
         Y = jnp.pad(Y, ((0, N_pad - N), (0, 0)))
 
     W2, b2 = fold_chain_params(W, b)
-    alpha_arr = jnp.asarray([alpha], jnp.float32)
+    W2h, W2l = _split_bf16(W2)
     nvalid = jnp.asarray([N], jnp.int32)
 
+    x_spec = pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [x_spec] + ([x_spec] if has_xlo else []) + [
+        pl.BlockSpec((tile_rows, K), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, K * C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, K * C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, K * C), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = ((Xh, Xl) if has_xlo else (Xh,)) + (Y, W2h, W2l, b2, nvalid)
+
+    n_fwd = 3 if has_xlo else 2
+    n_bwd = (3 if has_xlo else 2) if bwd_3pass else 1
     value, gw2, gb2 = pl.pallas_call(
-        functools.partial(_kernel, n_classes=K, bwd_3pass=bwd_3pass),
+        functools.partial(_kernel, n_classes=K, bwd_3pass=bwd_3pass,
+                          has_xlo=has_xlo),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows, K), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, K * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K * C), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, K * C), lambda i: (0, 0),
@@ -231,13 +274,22 @@ def softmax_value_and_grad(
             jax.ShapeDtypeStruct((1, K * C), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * N_pad * D * K * C,
-            bytes_accessed=N_pad * D * X.dtype.itemsize + N_pad * K * 4
-            + 2 * C * D * K * 4,
+            flops=(n_fwd + n_bwd) * 2 * N_pad * D * K * C,
+            bytes_accessed=(2 if has_xlo else 1) * N_pad * D * 2
+            + N_pad * K * 4 + 2 * C * D * K * 4,
             transcendentals=N_pad * C * K,
         ),
         interpret=interpret,
-    )(X, Y, W2, b2, alpha_arr, nvalid)
+    )(*inputs)
 
     gw, gb = unfold_chain_grads(gw2, gb2, K)
-    return value[0], gw, gb
+
+    # Gaussian-prior terms, exact f32, fused by XLA (elementwise, O(C*D*K))
+    nparam = jnp.float32(D * K + K)
+    sq = (jnp.sum(W * W, axis=(1, 2)) + jnp.sum(b * b, axis=1))   # (C,)
+    value = (value[0]
+             + 0.5 * nparam * jnp.log(alpha / (2.0 * jnp.pi))
+             - 0.5 * alpha * sq)
+    gw = gw - alpha * W
+    gb = gb - alpha * b
+    return value, gw, gb

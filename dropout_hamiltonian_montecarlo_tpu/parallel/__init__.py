@@ -7,14 +7,19 @@ axis, posterior collection is an all_gather — all XLA collectives over ICI/DCN
 no pickling, no queues.
 """
 
-from .mesh import make_mesh, chain_sharding
+from .mesh import (make_mesh, make_multihost_mesh, init_distributed,
+                   chain_sharding)
 from .chains import sample_posterior_sharded
-from .data import shard_data, data_parallel_logdensity
+from .data import (shard_data, make_sharded_logdensity,
+                   make_sharded_value_and_grad)
 
 __all__ = [
     "make_mesh",
+    "make_multihost_mesh",
+    "init_distributed",
     "chain_sharding",
     "sample_posterior_sharded",
     "shard_data",
-    "data_parallel_logdensity",
+    "make_sharded_logdensity",
+    "make_sharded_value_and_grad",
 ]

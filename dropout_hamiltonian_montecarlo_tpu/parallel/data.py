@@ -25,43 +25,52 @@ def shard_data(data: Batch, mesh: Mesh, axis: str = "data") -> Batch:
     return tuple(jax.device_put(d, sharding) for d in data)
 
 
-def data_parallel_logdensity(
-    logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
-    axis: str = "data",
-) -> Callable[[Params, Batch], jnp.ndarray]:
-    """Wrap a minibatch log density for use INSIDE shard_map over ``axis``.
+def _local_contribution(model, data_size: int, axis: str):
+    """Per-shard log-density contribution: prior divided by the axis size so
+    the psum over shards counts it exactly once; likelihood scaled by the
+    GLOBAL batch size (local * n_shards) for an unbiased minibatch estimate."""
 
-    The wrapped callable sees the local batch shard and psums the scalar
-    log-likelihood contribution over the data axis, so jax.grad of it psums
-    the gradient automatically (grad-of-psum = psum-of-grad).  Priors are
-    counted once: the inner fn must be written as prior + likelihood and the
-    prior term is divided by the axis size before the psum.
-    """
-
-    def wrapped(params: Params, local_batch: Batch) -> jnp.ndarray:
-        n_shards = jax.lax.axis_size(axis)
-        # logdensity = prior + ll_local on every shard; we want
-        # prior + sum_shards ll_local = psum(logdensity - prior*(1-1/n)).
-        # Implemented as: psum(logdensity)/1 - (n-1)*prior requires the prior
-        # separately; instead require the caller to pass a fn of the form
-        # prior/n_shards + ll (see make_sharded_logdensity below).
-        return jax.lax.psum(logdensity_fn(params, local_batch), axis)
-
-    return wrapped
-
-
-def make_sharded_logdensity(model, data_size: int, axis: str = "data"):
-    """Minibatch log density safe for data-parallel shard_map: the prior is
-    scaled by 1/axis_size so that the psum over shards counts it exactly once,
-    and the likelihood scale uses the GLOBAL batch size (local * n_shards)."""
-
-    def logdensity(params, local_batch):
+    def contribution(params, local_batch):
         n_shards = jax.lax.axis_size(axis)
         local_bs = local_batch[0].shape[0]
         global_bs = local_bs * n_shards
         ll = model.log_likelihood(params, local_batch)
         ll = (data_size / global_bs) * ll
-        contribution = model.log_prior(params) / n_shards + ll
-        return jax.lax.psum(contribution, axis)
+        return model.log_prior(params) / n_shards + ll
+
+    return contribution
+
+
+def make_sharded_logdensity(model, data_size: int, axis: str = "data"):
+    """Minibatch log density safe for data-parallel shard_map over ``axis``.
+
+    Differentiable only under check_vma=True (shard_map's default), where
+    JAX knows the psum output is replicated and transposes it correctly.
+    For gradients inside check_vma=False regions use
+    make_sharded_value_and_grad, which psums the gradient explicitly."""
+
+    contribution = _local_contribution(model, data_size, axis)
+
+    def logdensity(params, local_batch):
+        return jax.lax.psum(contribution(params, local_batch), axis)
 
     return logdensity
+
+
+def make_sharded_value_and_grad(model, data_size: int, axis: str = "data"):
+    """Data-parallel (value, grad) of the minibatch log density: local
+    value_and_grad followed by an explicit psum of BOTH outputs.
+
+    This is psum-of-grad, correct by construction under any check_vma
+    setting — unlike grad-of-psum, whose transpose under check_vma=False
+    double-counts (the round-1 data-parallel gradient bug).  TPU replacement
+    for the reference's per-worker minibatch gradient
+    (/root/reference/hamiltonian/inference/cpu/sgld_multicore.py:73-97)."""
+
+    contribution = _local_contribution(model, data_size, axis)
+
+    def value_and_grad(params, local_batch):
+        v, g = jax.value_and_grad(contribution)(params, local_batch)
+        return jax.lax.psum(v, axis), jax.lax.psum(g, axis)
+
+    return value_and_grad

@@ -39,6 +39,59 @@ def make_mesh(
     return Mesh(arr, ("chains", "data"))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host process group (jax.distributed.initialize).
+
+    The TPU replacement for the reference's fork-based worker pool
+    (/root/reference/hamiltonian/inference/cpu/sgld_multicore.py:91-97):
+    afterwards jax.devices() spans every host's chips and meshes built by
+    make_mesh/make_multihost_mesh lay collectives over ICI within a slice
+    and DCN across hosts.  On single-host (or when already initialized)
+    this is a no-op.  Returns this process's index.
+
+    On Cloud TPU all three arguments are auto-detected from the metadata
+    server; pass them explicitly elsewhere (e.g. GPU clusters or tests).
+    """
+    if jax.process_count() > 1:
+        return jax.process_index()          # already initialized
+    if num_processes is not None and num_processes <= 1:
+        return 0
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process run with no coordinator: stay local
+        return 0
+    return jax.process_index()
+
+
+def make_multihost_mesh(
+    num_chain_shards: Optional[int] = None,
+    num_data_shards: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh over EVERY process's devices, hosts laid along the 'chains' axis.
+
+    Device order: jax.devices() already interleaves all processes' chips;
+    we sort by (process_index, device id) so each host's chips are
+    contiguous along the chains axis — chain parallelism then needs no
+    cross-host communication at all (the reference's multicore chains are
+    embarrassingly parallel, cpu/hmc_multicore.py:22-38), while the 'data'
+    axis psum stays within a host's slice (ICI) whenever
+    num_data_shards <= chips per host.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    devices.sort(key=lambda d: (d.process_index, d.id))
+    return make_mesh(num_chain_shards, num_data_shards, devices)
+
+
 def chain_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding that lays a leading chain axis across the 'chains' mesh axis."""
     return NamedSharding(mesh, P("chains"))

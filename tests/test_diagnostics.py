@@ -66,3 +66,44 @@ def test_summarize_pytree():
     assert float(s["aggregate"]["max_rhat"]) < 1.1
     assert float(s["aggregate"]["min_ess_per_sec"]) > 0
     assert s["w"]["mean"].shape == (5,)
+
+
+def test_ece_perfectly_calibrated_vs_overconfident():
+    """A predictor whose confidence equals its empirical accuracy has ~0 ECE;
+    an overconfident one has ECE ~= conf - acc."""
+    from dropout_hamiltonian_montecarlo_tpu.diagnostics import (
+        expected_calibration_error,
+    )
+
+    rng = np.random.RandomState(0)
+    n, k = 20000, 2
+    # binary predictor, always 70% confident in class 0
+    probs = np.tile(np.array([[0.7, 0.3]], np.float32), (n, 1))
+    # ...and correct exactly 70% of the time -> calibrated
+    labels_cal = (rng.rand(n) > 0.7).astype(np.int32)
+    ece_cal = float(expected_calibration_error(jnp.asarray(probs),
+                                               jnp.asarray(labels_cal)))
+    assert ece_cal < 0.02, ece_cal
+    # ...but correct only 50% of the time -> ECE ~ 0.2
+    labels_bad = (rng.rand(n) > 0.5).astype(np.int32)
+    ece_bad = float(expected_calibration_error(jnp.asarray(probs),
+                                               jnp.asarray(labels_bad)))
+    assert 0.15 < ece_bad < 0.25, ece_bad
+
+
+def test_posterior_predictive_probs_shape_and_mean():
+    from dropout_hamiltonian_montecarlo_tpu.diagnostics import (
+        posterior_predictive_probs,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
+
+    model = Softmax(dim=3, n_classes=4, alpha=1.0)
+    X = jnp.asarray(np.random.RandomState(1).randn(10, 3), jnp.float32)
+    draws = {
+        "weights": jnp.zeros((2, 8, 3, 4)),   # (chains, draws, D, K)
+        "bias": jnp.zeros((2, 8, 4)),
+    }
+    probs = posterior_predictive_probs(
+        lambda p, x: model.predict(p, x, prob=True), draws, X, max_draws=4)
+    assert probs.shape == (10, 4)
+    np.testing.assert_allclose(np.asarray(probs), 0.25, atol=1e-6)

@@ -98,3 +98,27 @@ def test_mnist_hdf5_reference_format(tmp_path):
     assert X.shape == (32, 784)
     assert float(X.max()) <= 1.0  # rescaled from [0,255]
     assert y.shape == (32,)       # de-one-hotted
+
+
+def test_streaming_collection_cli(tmp_path):
+    """mvn-hmc --save --stream-chunk: draws are spooled to HDF5 in chunks
+    during sampling; datasets come back (draws, chains, dim) and the summary
+    line still prints (reference parity: per-draw HDF5 spooling in
+    /root/reference/hamiltonian/inference/cpu/sgld_multicore.py:38-57)."""
+    import json
+    import contextlib
+    import io as _io
+
+    import h5py
+    from dropout_hamiltonian_montecarlo_tpu.cli import main
+
+    f = str(tmp_path / "stream.h5")
+    out = _io.StringIO()
+    with contextlib.redirect_stdout(out):
+        main(["mvn-hmc", "--chains", "2", "--samples", "40", "--warmup", "50",
+              "--save", f, "--stream-chunk", "16"])
+    agg = json.loads(out.getvalue().strip().splitlines()[-1])
+    assert agg["workload"] == "mvn-hmc"
+    with h5py.File(f, "r") as h:
+        x = h["x"][:]
+    assert x.shape == (40, 2, 2)  # (draws, chains, dim), appended in chunks

@@ -56,3 +56,40 @@ def test_deterministic_given_key():
     s1, _ = kernel(k, state, jnp.float32(0.5))
     s2, _ = kernel(k, state, jnp.float32(0.5))
     assert np.allclose(s1.position["x"], s2.position["x"])
+
+
+def test_coordinate_wise_moves_one_coordinate():
+    """coordinate_wise=True: each step changes at most one coordinate
+    (reference mode: /root/reference/hamiltonian/inference/cpu/metropolis.py:58-62)."""
+    model = MVNGaussian(MU, COV)
+    logdensity = model.make_logdensity()
+    kernel = metropolis.build_kernel(logdensity, coordinate_wise=True)
+    state = metropolis.init({"x": jnp.zeros(2), "z": jnp.ones(3)}, logdensity)
+    ks = jax.random.split(jax.random.key(5), 50)
+    for k in ks:
+        new, _ = kernel(k, state, jnp.float32(0.5))
+        moved = sum(
+            int(np.sum(np.asarray(a) != np.asarray(b)))
+            for a, b in zip(jax.tree_util.tree_leaves(new.position),
+                            jax.tree_util.tree_leaves(state.position))
+        )
+        assert moved <= 1
+        state = new
+
+
+def test_coordinate_wise_samples_target():
+    """Single-coordinate MH still recovers the MVN target moments."""
+    from dropout_hamiltonian_montecarlo_tpu.inference.base import run_inference
+
+    model = MVNGaussian(MU, COV)
+    logdensity = model.make_logdensity()
+    kernel = metropolis.build_kernel(logdensity, coordinate_wise=True)
+    state = metropolis.init({"x": jnp.zeros(2)}, logdensity)
+    ks = jax.random.key(6)
+
+    def fixed(k, s):
+        return kernel(k, s, jnp.float32(1.0))
+
+    _, (states, infos) = run_inference(fixed, state, ks, num_samples=8000)
+    x = np.asarray(states.position["x"])[2000:]
+    assert np.allclose(x.mean(0), np.asarray(MU), atol=0.3), x.mean(0)

@@ -78,13 +78,53 @@ def test_fused_value_and_grad_matches_xla(tile_rows, bwd_3pass):
         {"weights": W, "bias": b}
     )
 
-    g_rtol, g_atol = (1e-3, 1e-3) if bwd_3pass else (2e-2, 2e-2)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
+                               rtol=3e-4)
+    if bwd_3pass:
+        g_rtol, g_atol_w, g_atol_b = 1e-3, 1e-3, 1e-3
+    else:
+        # single-pass bf16 backward: per-element error scales with the
+        # ACCUMULATED magnitude (bf16 unit roundoff 2^-8 = 3.9e-3 of the
+        # summed |x||r| products), not with the element's own value — a
+        # near-cancelled gradient element can carry full-scale noise.  So
+        # the honest bound is an atol proportional to the gradient scale.
+        g_rtol = 2e-2
+        g_atol_w = 3.9e-3 * float(np.abs(np.asarray(ref_grad["weights"])).max())
+        g_atol_b = 3.9e-3 * float(np.abs(np.asarray(ref_grad["bias"])).max())
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(ref_grad["weights"]),
+                               rtol=g_rtol, atol=g_atol_w)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ref_grad["bias"]),
+                               rtol=g_rtol, atol=g_atol_b)
+
+
+def test_fused_value_and_grad_exact_x():
+    """8-bit-style data (k/256) is exactly bf16-representable: split_bf16_input
+    must detect it (lo is None -> the Xl GEMM pass is skipped) and the kernel
+    must still match jax.value_and_grad to ~f32."""
+    from dropout_hamiltonian_montecarlo_tpu.ops.pallas_glm import (
+        split_bf16_input,
+    )
+
+    key = jax.random.key(8)
+    X = jax.random.randint(key, (N, D), 0, 256).astype(jnp.float32) / 256.0
+    _, Y, W, b = _data(jax.random.key(9))
+    xs = split_bf16_input(X)
+    assert xs[1] is None
+
+    model = Softmax(dim=D, n_classes=K, alpha=ALPHA)
+    val, gw, gb = softmax_value_and_grad(
+        None, Y, W, b, ALPHA, tile_rows=128, interpret=True, bwd_3pass=True,
+        x_split=xs,
+    )
+    ref_val, ref_grad = _xla_vag(model, X, Y, precision="highest")(
+        {"weights": W, "bias": b}
+    )
     np.testing.assert_allclose(np.asarray(val), np.asarray(ref_val),
                                rtol=3e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(ref_grad["weights"]),
-                               rtol=g_rtol, atol=g_atol)
+                               rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ref_grad["bias"]),
-                               rtol=g_rtol, atol=g_atol)
+                               rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",

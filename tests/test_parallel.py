@@ -21,6 +21,7 @@ from dropout_hamiltonian_montecarlo_tpu.parallel import (
 )
 from dropout_hamiltonian_montecarlo_tpu.parallel.data import (
     make_sharded_logdensity,
+    make_sharded_value_and_grad,
     shard_data,
 )
 from dropout_hamiltonian_montecarlo_tpu.utils import one_hot
@@ -78,36 +79,93 @@ def test_sharded_chains_have_distinct_streams():
     assert len({tuple(np.round(f, 6)) for f in finals}) == 8
 
 
-@requires_multidevice
-def test_data_parallel_gradient_matches_full():
-    """psum'd sharded gradient == single-device full-batch gradient."""
-    mesh = make_mesh(num_chain_shards=1, num_data_shards=8)
-    key = jax.random.key(0)
+def _dp_reference(key):
     n, d, k = 64, 4, 3
     X = jax.random.normal(key, (n, d))
     y = one_hot(jax.random.randint(key, (n,), 0, k), k)
     model = Softmax(dim=d, n_classes=k, alpha=0.5)
     params = model.init_params(key)
-
     full_ld = model.make_batched_logdensity(data_size=n)
-    g_full = jax.grad(full_ld)(params, (X, y))
     v_full = full_ld(params, (X, y))
+    g_full = jax.grad(full_ld)(params, (X, y))
+    return model, params, (X, y), n, v_full, g_full
 
-    sharded_ld = make_sharded_logdensity(model, data_size=n)
 
+@requires_multidevice
+def test_data_parallel_gradient_matches_full():
+    """grad-of-psum under shard_map with check_vma=True (the default, where
+    JAX transposes the replicated psum output correctly) == single-device
+    full-batch gradient."""
     from jax.sharding import PartitionSpec as P
 
-    def shard_fn(params, batch):
-        return jax.value_and_grad(sharded_ld)(params, batch)
+    mesh = make_mesh(num_chain_shards=1, num_data_shards=8)
+    model, params, batch, n, v_full, g_full = _dp_reference(jax.random.key(0))
+    sharded_ld = make_sharded_logdensity(model, data_size=n)
 
     f = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P("data")),
-        out_specs=(P(), P()),
-        check_vma=False,
+        lambda p, b: jax.value_and_grad(sharded_ld)(p, b),
+        mesh=mesh, in_specs=(P(), P("data")), out_specs=(P(), P()),
     )
-    v_sh, g_sh = f(params, (X, y))
+    v_sh, g_sh = f(params, batch)
     assert np.allclose(v_sh, v_full, rtol=1e-5), (v_sh, v_full)
     for a, b in zip(jax.tree_util.tree_leaves(g_sh),
                     jax.tree_util.tree_leaves(g_full)):
         assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@requires_multidevice
+def test_data_parallel_value_and_grad_explicit_psum():
+    """make_sharded_value_and_grad (psum-of-grad, correct by construction
+    even under check_vma=False) == single-device full-batch gradient."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(num_chain_shards=1, num_data_shards=8)
+    model, params, batch, n, v_full, g_full = _dp_reference(jax.random.key(0))
+    vag = make_sharded_value_and_grad(model, data_size=n)
+
+    f = jax.shard_map(
+        vag, mesh=mesh, in_specs=(P(), P("data")), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    v_sh, g_sh = f(params, batch)
+    assert np.allclose(v_sh, v_full, rtol=1e-5), (v_sh, v_full)
+    for a, b in zip(jax.tree_util.tree_leaves(g_sh),
+                    jax.tree_util.tree_leaves(g_full)):
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class _FakeDevice:
+    """Minimal stand-in for a jax Device (multi-host mesh unit test)."""
+
+    def __init__(self, id, process_index):
+        self.id = id
+        self.process_index = process_index
+
+    def __repr__(self):
+        return f"FakeDevice(id={self.id}, proc={self.process_index})"
+
+
+def test_multihost_mesh_orders_hosts_contiguously():
+    """make_multihost_mesh lays each host's chips contiguously along the
+    chains axis, so chain parallelism never crosses DCN."""
+    from dropout_hamiltonian_montecarlo_tpu.parallel.mesh import (
+        make_multihost_mesh,
+    )
+
+    # 2 hosts x 4 chips, deliberately interleaved like jax.devices() output
+    devs = [_FakeDevice(id=i, process_index=i % 2) for i in range(8)]
+    mesh = make_multihost_mesh(num_chain_shards=4, num_data_shards=2,
+                               devices=devs)
+    arr = np.asarray(mesh.devices)
+    assert arr.shape == (4, 2)
+    flat = arr.ravel()
+    # first half of the chains axis = host 0, second half = host 1
+    assert [d.process_index for d in flat] == [0] * 4 + [1] * 4
+
+
+def test_init_distributed_single_process_noop():
+    from dropout_hamiltonian_montecarlo_tpu.parallel.mesh import (
+        init_distributed,
+    )
+
+    assert init_distributed(num_processes=1) == 0
