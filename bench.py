@@ -135,22 +135,39 @@ def main():
     }
 
     if use_pallas:
-        fused_q = model.make_fused_value_and_grad((X, y))
+        from dropout_hamiltonian_montecarlo_tpu.ops.pallas_glm import (
+            split_bf16_input,
+        )
+
+        x_split = split_bf16_input(X)   # once; shared by both kernel variants
+        fused_q = model.make_fused_value_and_grad((X, y), x_split=x_split)
+        fused_g = model.make_fused_value_and_grad((X, y), x_split=x_split,
+                                                  fwd_full=False)
         # grad of e -> logpost(qmap + unwhiten(e)) chains through the linear
         # unwhiten map's transpose (exact, XLA-compiled)
         unwhiten_t = jax.linear_transpose(metric.unwhiten, e_example)
 
-        def batched_vag(E):
-            dQ = jax.vmap(metric.unwhiten)(E)
-            Q = jax.tree_util.tree_map(lambda m_, d: m_[None] + d, qmap, dQ)
-            val, G = fused_q(Q)
-            gE = jax.vmap(lambda g: unwhiten_t(g)[0])(G)
-            return val, gE
+        def _whitened(fused):
+            def f(E):
+                dQ = jax.vmap(metric.unwhiten)(E)
+                Q = jax.tree_util.tree_map(lambda m_, d: m_[None] + d,
+                                           qmap, dQ)
+                val, G = fused(Q)
+                gE = jax.vmap(lambda g: unwhiten_t(g)[0])(G)
+                return val, gE
+            return f
+
+        batched_vag = _whitened(fused_q)
+        batched_grad = _whitened(fused_g)   # 1 fwd pass: grad-only steps
     else:
         _vag1 = jax.value_and_grad(logdensity_e)
         batched_vag = jax.vmap(_vag1)
+        batched_grad = None
 
-    kernel_b = hmc.build_batched_kernel(batched_vag, NUM_INTEGRATION_STEPS)
+    # lazy-value trajectories: L-1 grad-only leapfrog steps + ONE accurate
+    # value+grad at the proposal (the MH accept only needs endpoint energies)
+    kernel_b = hmc.build_batched_kernel(batched_vag, NUM_INTEGRATION_STEPS,
+                                        grad_fn=batched_grad)
 
     def laplace_init(key):
         # Laplace init is exactly e ~ N(0, I) in whitened coordinates
@@ -202,11 +219,17 @@ def main():
 
     @jax.jit
     def ess_of(e_draws):
-        # back to parameter space (on device), ESS per parameter coordinate
-        q_draws = jax.vmap(jax.vmap(
-            lambda e: tree_add(qmap, metric.unwhiten(e))))(e_draws)
+        # back to parameter space ON DEVICE, one chain at a time (lax.map):
+        # unwhitening all chains*draws at once would materialize ~10x the
+        # 4 GB draw block in Kronecker-matmul temporaries
+        def per_chain(e_c):
+            return jax.vmap(lambda e: tree_add(qmap, metric.unwhiten(e)))(e_c)
+
+        q_draws = jax.lax.map(per_chain, e_draws)
+        # blocked ESS: the FFT buffer at (7850, 128, 2048) complex is ~16 GB
+        # all-at-once; 512-coordinate blocks bound it at ~1 GB
         return jnp.concatenate([
-            effective_sample_size(q_draws["weights"]).ravel(),
+            effective_sample_size(q_draws["weights"], block_size=512).ravel(),
             effective_sample_size(q_draws["bias"]).ravel(),
         ])
 

@@ -27,11 +27,16 @@ def _autocovariance_fft(x):
     return acov / n
 
 
-def effective_sample_size(samples) -> jnp.ndarray:
+def effective_sample_size(samples, block_size: int = 0) -> jnp.ndarray:
     """ESS per parameter.
 
     samples: (num_chains, num_draws) or (num_chains, num_draws, ...) — extra
     axes are treated as independent parameters; returns ESS with those axes.
+
+    block_size > 0 processes the parameter axis in sequential blocks
+    (lax.map): the FFT autocovariance buffer is (P, C, 2*draws) complex, so
+    at e.g. P=7850, C=128, draws=1000 the all-at-once batch is ~16 GB —
+    blocking bounds it at block_size/P of that.
     """
     samples = jnp.asarray(samples)
     scalar_input = samples.ndim == 2
@@ -41,6 +46,28 @@ def effective_sample_size(samples) -> jnp.ndarray:
     param_shape = samples.shape[2:]
     x = samples.reshape(chains, draws, -1).transpose(2, 0, 1)  # (P, C, N)
 
+    if block_size and x.shape[0] > block_size:
+        P = x.shape[0]
+        n_blocks = -(-P // block_size)
+        pad = n_blocks * block_size - P
+        xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+        blocks = xp.reshape(n_blocks, block_size, chains, draws)
+        ess_blocks = jax.lax.map(_ess_of_block, blocks)     # sequential
+        ess = ess_blocks.reshape(-1)[:P]
+        if scalar_input:
+            return ess[0]
+        return ess.reshape(param_shape)
+
+    return _finish_ess(x, scalar_input, param_shape)
+
+
+def _ess_of_block(x):
+    """ESS over a (P, C, N) block (flat output)."""
+    return _finish_ess(x, scalar_input=False, param_shape=(x.shape[0],))
+
+
+def _finish_ess(x, scalar_input, param_shape):
+    chains, draws = x.shape[1], x.shape[2]
     acov = jax.vmap(_autocovariance_fft)(x)                    # (P, C, N)
     chain_var = acov[..., 0] * draws / (draws - 1.0)           # (P, C)
     mean_var = jnp.mean(chain_var, axis=-1)                    # W, (P,)

@@ -128,6 +128,7 @@ def build_batched_kernel(
     value_and_grad_fn: Callable,
     num_integration_steps: int,
     divergence_threshold: float = 1000.0,
+    grad_fn: Optional[Callable] = None,
 ):
     """Chain-batched HMC: ALL chains advance inside one kernel call.
 
@@ -137,26 +138,59 @@ def build_batched_kernel(
     pytree — so a fused multi-chain value+grad (the Pallas GLM kernel,
     ops/pallas_glm.py) serves every chain with ONE pass over the data.
 
+    ``grad_fn`` (optional, positions -> batched grads OR (noisy_value,
+    grads)): lazy-value trajectories.  The MH accept only needs the log
+    density at the trajectory ENDPOINTS, so the first L-1 leapfrog steps use
+    the cheaper grad-only function and ``value_and_grad_fn`` runs once, at
+    the proposal — with the Pallas GLM kernel that's 1 forward pass per
+    inner step instead of 2-3 (fwd_full=False).  The gradient may be noisier
+    than value_and_grad_fn's: gradient error only perturbs the proposal
+    (detailed balance is preserved by the accurate endpoint energies).
+
     Returns step(key, state, step_sizes, inv_mass) -> (state, info) where
     state leaves have a leading chain axis C, state.logdensity is (C,),
     step_sizes is (C,), and inv_mass leaves are chain-batched.  Info fields
     are (C,)-vectors.  Trajectory length is fixed (no jitter): one compiled
     scan serves all chains, matching the flagship bench configuration.
     """
+    from ..ops.tree import tree_axpy_bcast
 
     def step(key, state: HMCState, step_sizes, inv_mass):
         key_mom, key_accept = jax.random.split(key)
         m = batched_diagonal_metric(inv_mass)
-        integ = velocity_verlet_batched(value_and_grad_fn, m.kinetic_grad)
 
         momentum = m.sample_momentum(key_mom, state.position)
         energy0 = -state.logdensity + m.kinetic_energy(momentum)    # (C,)
 
-        run = trajectory(integ, num_integration_steps)
         start = IntegratorState(
             state.position, momentum, state.logdensity, state.logdensity_grad
         )
-        end = run(start, step_sizes)
+        if grad_fn is None:
+            integ = velocity_verlet_batched(value_and_grad_fn, m.kinetic_grad)
+            run = trajectory(integ, num_integration_steps)
+            end = run(start, step_sizes)
+        else:
+            def grad_only(q):
+                out = grad_fn(q)
+                return out[1] if isinstance(out, tuple) else out
+
+            def cheap_vag(q):
+                # logdensity entry stays stale through the inner steps; the
+                # accurate value is evaluated once below, at the proposal
+                return state.logdensity, grad_only(q)
+
+            integ = velocity_verlet_batched(cheap_vag, m.kinetic_grad)
+            run = trajectory(integ, num_integration_steps - 1)
+            mid = run(start, step_sizes)
+            # final leapfrog step evaluates the ACCURATE value+grad at the
+            # proposal; its grad also seeds the next draw's first half-step
+            q, p = mid.position, mid.momentum
+            p = tree_axpy_bcast(0.5 * step_sizes, mid.logdensity_grad, p)
+            v = m.kinetic_grad(p)
+            q = tree_axpy_bcast(step_sizes, v, q)
+            value, g = value_and_grad_fn(q)
+            p = tree_axpy_bcast(0.5 * step_sizes, g, p)
+            end = IntegratorState(q, p, value, g)
 
         energy1 = -end.logdensity + m.kinetic_energy(end.momentum)  # (C,)
         delta = energy0 - energy1

@@ -62,23 +62,32 @@ class Softmax(Model):
 
     def make_fused_value_and_grad(self, batch, tile_rows: int = 512,
                                   interpret: bool = False,
-                                  bwd_3pass: bool = False):
+                                  bwd_3pass: bool = False,
+                                  fwd_full: bool = True,
+                                  x_split=None):
         """Chain-batched fused log-posterior value+grad via the Pallas TPU
         kernel (ops/pallas_glm.py): params leaves carry a leading chain axis
         ({'weights': (C,D,K), 'bias': (C,K)}), returns ((C,), batched grads)
         with ONE pass over X per call — feeds
         inference.hmc.build_batched_kernel.  The dataset's bf16 (hi, lo)
-        split is precomputed here, once, not per leapfrog step."""
+        split is precomputed here, once, not per leapfrog step (pass the
+        same ``x_split`` to several makers to share the device copy).
+
+        ``fwd_full=False`` builds the cheap grad-only variant (single-pass
+        forward logits): use as the ``grad_fn`` of
+        hmc.build_batched_kernel's lazy-value trajectory — its value output
+        is too noisy for MH accepts."""
         from ..ops.pallas_glm import softmax_value_and_grad, split_bf16_input
 
         X, y = batch
-        x_split = split_bf16_input(X)
+        if x_split is None:
+            x_split = split_bf16_input(X)
 
         def vag(params):
             value, gw, gb = softmax_value_and_grad(
                 None, y, params["weights"], params["bias"], float(self.alpha),
                 tile_rows=tile_rows, interpret=interpret, bwd_3pass=bwd_3pass,
-                x_split=x_split,
+                x_split=x_split, fwd_full=fwd_full,
             )
             return value, {"weights": gw, "bias": gb}
 

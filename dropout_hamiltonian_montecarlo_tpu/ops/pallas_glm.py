@@ -95,7 +95,8 @@ def split_bf16_input(X: jnp.ndarray) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]
     return hi, lo
 
 
-def _kernel(*refs, n_classes: int, bwd_3pass: bool, has_xlo: bool):
+def _kernel(*refs, n_classes: int, bwd_3pass: bool, has_xlo: bool,
+            fwd_full: bool):
     if has_xlo:
         (xh_ref, xl_ref, y_ref, wh_ref, wl_ref, b_ref, nvalid_ref,
          value_ref, gw_ref, gb_ref) = refs
@@ -120,15 +121,21 @@ def _kernel(*refs, n_classes: int, bwd_3pass: bool, has_xlo: bool):
     # forward GEMM at bf16x3 (~f32): the log-likelihood sums ~N*|logit|
     # magnitudes, so single-pass bf16 noise would swamp the MH energy delta.
     # With an exactly-representable X (has_xlo=False) the Xl pass vanishes
-    # and 2 passes already give the full bf16x3 accuracy.
+    # and 2 passes already give the full bf16x3 accuracy.  fwd_full=False
+    # keeps ONLY the hi pass — grad-quality logits for grad-only leapfrog
+    # steps (the returned ll is then bf16-noisy and must not feed an MH
+    # accept; HMC evaluates the accurate value at trajectory ends only).
     wh = wh_ref[:]
     z = jnp.dot(xh, wh, precision=_DOT, preferred_element_type=jnp.float32)
-    z += jnp.dot(xh, wl_ref[:], precision=_DOT,
-                 preferred_element_type=jnp.float32)
-    if has_xlo:
-        xl = xl_ref[:]                             # (TB, D) bf16
-        z += jnp.dot(xl, wh, precision=_DOT,
+    if fwd_full:
+        z += jnp.dot(xh, wl_ref[:], precision=_DOT,
                      preferred_element_type=jnp.float32)
+        if has_xlo:
+            xl = xl_ref[:]                         # (TB, D) bf16
+            z += jnp.dot(xl, wh, precision=_DOT,
+                         preferred_element_type=jnp.float32)
+    elif has_xlo:
+        xl = xl_ref[:]
     z = z + b_ref[:]                               # (TB, K*C) f32
 
     # per-(row, chain) stable softmax over the K contiguous (TB, C) blocks
@@ -211,6 +218,7 @@ def softmax_value_and_grad(
     interpret: bool = False,
     bwd_3pass: bool = False,
     x_split: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    fwd_full: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused log-posterior value + gradient for all chains in one X pass.
 
@@ -219,6 +227,9 @@ def softmax_value_and_grad(
     unless ``bwd_3pass``.  ``interpret=True`` runs the kernel in Pallas
     interpret mode (CPU-testable).  Pass ``x_split=split_bf16_input(X)``
     (precomputed once) to avoid re-splitting the dataset per call.
+    ``fwd_full=False`` drops the forward correction passes (single-pass bf16
+    logits): the gradient keeps grad quality but the returned value is too
+    noisy for an MH accept — use only for grad-only leapfrog steps.
     """
     if x_split is None:
         x_split = split_bf16_input(X)
@@ -254,11 +265,11 @@ def softmax_value_and_grad(
     ]
     inputs = ((Xh, Xl) if has_xlo else (Xh,)) + (Y, W2h, W2l, b2, nvalid)
 
-    n_fwd = 3 if has_xlo else 2
+    n_fwd = (3 if has_xlo else 2) if fwd_full else 1
     n_bwd = (3 if has_xlo else 2) if bwd_3pass else 1
     value, gw2, gb2 = pl.pallas_call(
         functools.partial(_kernel, n_classes=K, bwd_3pass=bwd_3pass,
-                          has_xlo=has_xlo),
+                          has_xlo=has_xlo, fwd_full=fwd_full),
         grid=(n_tiles,),
         in_specs=in_specs,
         out_specs=[

@@ -107,3 +107,14 @@ def test_posterior_predictive_probs_shape_and_mean():
         lambda p, x: model.predict(p, x, prob=True), draws, X, max_draws=4)
     assert probs.shape == (10, 4)
     np.testing.assert_allclose(np.asarray(probs), 0.25, atol=1e-6)
+
+
+def test_blocked_ess_matches_unblocked():
+    from dropout_hamiltonian_montecarlo_tpu.diagnostics.ess import (
+        effective_sample_size,
+    )
+
+    x = jax.random.normal(jax.random.key(0), (4, 200, 37))
+    a = np.asarray(effective_sample_size(x))
+    b = np.asarray(effective_sample_size(x, block_size=8))  # ragged blocks
+    np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -255,3 +255,52 @@ def test_fused_kernel_drives_batched_hmc_interpret():
     np.testing.assert_allclose(np.asarray(f1.position["weights"]),
                                np.asarray(f2.position["weights"]),
                                rtol=5e-3, atol=1e-3)
+
+
+def test_lazy_value_kernel_matches_standard():
+    """build_batched_kernel(grad_fn=...) with an EXACT grad_fn must reproduce
+    the standard batched kernel up to XLA refusion noise (same keys, same
+    math, only the evaluation schedule differs); with the cheap
+    single-pass-forward grad (fwd_full=False) it must stay statistically
+    indistinguishable (the endpoint energies are still accurate)."""
+    X, Y, W, b = _data(jax.random.key(10))
+    model = Softmax(dim=D, n_classes=K, alpha=ALPHA)
+    vag = model.make_fused_value_and_grad((X, Y), tile_rows=128,
+                                          interpret=True, bwd_3pass=True)
+    cheap = model.make_fused_value_and_grad((X, Y), tile_rows=128,
+                                            interpret=True, bwd_3pass=True,
+                                            fwd_full=False)
+
+    positions = {"weights": 0.1 * W, "bias": 0.1 * b}
+    inv_mass = tree_ones_like(positions)
+    step_sizes = jnp.full((C,), 2e-3, jnp.float32)
+    keys = jax.random.split(jax.random.key(11), 8)
+
+    def run(kernel):
+        state = hmc.batched_init(positions, vag)
+
+        def body(s, k):
+            ns, info = kernel(k, s, step_sizes, inv_mass)
+            return ns, info.acceptance_prob
+
+        return jax.lax.scan(body, state, keys)
+
+    k_std = hmc.build_batched_kernel(vag, num_integration_steps=4)
+    k_lazy = hmc.build_batched_kernel(vag, num_integration_steps=4,
+                                      grad_fn=vag)
+    k_cheap = hmc.build_batched_kernel(vag, num_integration_steps=4,
+                                       grad_fn=cheap)
+
+    f_std, a_std = run(k_std)
+    f_lazy, a_lazy = run(k_lazy)
+    # same math, different program structure -> only refusion-level drift
+    np.testing.assert_allclose(np.asarray(a_std), np.asarray(a_lazy),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_std.position["weights"]),
+                               np.asarray(f_lazy.position["weights"]),
+                               rtol=1e-4, atol=1e-5)
+
+    f_cheap, a_cheap = run(k_cheap)
+    np.testing.assert_allclose(np.asarray(a_cheap), np.asarray(a_std),
+                               atol=0.05)
+    assert bool(jnp.all(jnp.isfinite(f_cheap.logdensity)))

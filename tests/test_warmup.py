@@ -3,7 +3,12 @@
 import numpy as np
 import jax.numpy as jnp
 
-from dropout_hamiltonian_montecarlo_tpu.inference.warmup import build_schedule
+import jax
+
+from dropout_hamiltonian_montecarlo_tpu.inference.warmup import (
+    build_schedule,
+    run_warmup,
+)
 from dropout_hamiltonian_montecarlo_tpu.ops.adaptation import (
     WelfordState,
     welford_init,
@@ -61,3 +66,36 @@ def test_welford_regularization_shrinks_to_unit():
     reg = welford_inv_mass(state, regularize=True)
     raw = welford_inv_mass(state, regularize=False)
     assert np.all(np.asarray(reg["x"]) != np.asarray(raw["x"]))
+
+
+def test_batched_warmup_adapts_per_chain_step_sizes():
+    """run_warmup over a chain-BATCHED kernel (one compiled scan, per-chain
+    dual averaging): chains targeting different-scale posteriors must adapt
+    DIFFERENT step sizes, and acceptance must land near the target."""
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_ones_like
+
+    C, dim = 4, 6
+    # per-chain Gaussian scales: chain c targets N(0, s_c^2 I)
+    scales = jnp.array([0.05, 0.3, 1.0, 4.0])
+
+    def batched_vag(pos):
+        x = pos["x"]                                   # (C, dim)
+        val = -0.5 * jnp.sum((x / scales[:, None]) ** 2, axis=-1)
+        grad = {"x": -x / scales[:, None] ** 2}
+        return val, grad
+
+    positions = {"x": 0.1 * jnp.ones((C, dim), jnp.float32)}
+    state = hmc.batched_init(positions, batched_vag)
+    kernel = hmc.build_batched_kernel(batched_vag, num_integration_steps=8)
+
+    res = run_warmup(kernel, state, jax.random.key(0), 400,
+                     initial_step_size=jnp.full((C,), 0.1, jnp.float32),
+                     target_acceptance=0.8, adapt_mass=False)
+    ss = np.asarray(res.step_size)
+    assert ss.shape == (C,)
+    # adapted step size tracks the target scale (monotone in s_c)
+    assert np.all(np.diff(ss) > 0), ss
+    infos, _ = res.info
+    acc_tail = np.asarray(infos.acceptance_prob)[-100:].mean(axis=0)
+    assert np.all(np.abs(acc_tail - 0.8) < 0.15), acc_tail
