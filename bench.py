@@ -83,6 +83,7 @@ def main():
     from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
 
     t_setup0 = time.time()
+    dataset_provenance = datasets.mnist_provenance()
     X, yi = datasets.mnist()
     y = (yi[:, None] == jnp.arange(10)).astype(jnp.float32)
     X, y = jax.device_put(X), jax.device_put(y)
@@ -299,6 +300,7 @@ def main():
             "amortized_setup_seconds": round(t_setup, 1),
             "amortized_warmup_seconds": round(t_warm, 1),
             "path": "pallas" if use_pallas else "xla",
+            "dataset": dataset_provenance,
         },
     }))
 

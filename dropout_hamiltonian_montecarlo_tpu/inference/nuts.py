@@ -77,18 +77,59 @@ def build_kernel(
     logdensity_fn: Callable,
     max_tree_depth: int = 10,
     divergence_threshold: float = 1000.0,
+    metric=None,
 ):
-    """Returns step(key, state, step_size, inv_mass) -> (state, info)."""
+    """Returns step(key, state, step_size, inv_mass) -> (state, info).
+
+    ``metric``: an ops.metrics.Metric with whiten/unwhiten (e.g. the
+    Kronecker Gauss-Newton metric, ops/kron_metric.py) — NUTS then runs in
+    the WHITENED coordinates e = M^{1/2} q with an identity mass matrix,
+    which is algebraically identical to NUTS under mass matrix M but keeps
+    every internal array O(1) in float32.  The public state (position,
+    logdensity_grad) stays in ORIGINAL parameter space, so warmup/driver
+    composition is unchanged; ``inv_mass`` is ignored in this mode.  Same
+    capability hmc.build_kernel(metric=...) has — needed for full-batch NUTS
+    on the ill-conditioned MNIST softmax posterior (BASELINE config 3), where
+    a diagonal mass matrix cannot fix the cross-coordinate correlation."""
+    if metric is not None and (metric.whiten is None or metric.unwhiten is None):
+        raise ValueError("nuts metric support needs metric.whiten/unwhiten")
 
     def step(key, state: NUTSState, step_size, inv_mass):
-        z0_flat, unravel = jax.flatten_util.ravel_pytree(state.position)
-        g0_flat, _ = jax.flatten_util.ravel_pytree(state.logdensity_grad)
-        im_flat, _ = jax.flatten_util.ravel_pytree(inv_mass)
-        dim = z0_flat.shape[0]
+        if metric is None:
+            z0_flat, unravel = jax.flatten_util.ravel_pytree(state.position)
+            g0_flat, _ = jax.flatten_util.ravel_pytree(state.logdensity_grad)
+            im_flat, _ = jax.flatten_util.ravel_pytree(inv_mass)
 
-        def value_and_grad_flat(z):
-            v, g = jax.value_and_grad(logdensity_fn)(unravel(z))
-            return v, jax.flatten_util.ravel_pytree(g)[0]
+            def value_and_grad_flat(z):
+                v, g = jax.value_and_grad(logdensity_fn)(unravel(z))
+                return v, jax.flatten_util.ravel_pytree(g)[0]
+
+            def to_state(z_prop_flat, logp, g_prop_flat):
+                return NUTSState(unravel(z_prop_flat), logp,
+                                 unravel(g_prop_flat))
+        else:
+            # whitened coordinates: e = whiten(q); grads map through the
+            # transposed linear maps (exact — whiten/unwhiten are linear)
+            e0 = metric.whiten(state.position)
+            z0_flat, unravel = jax.flatten_util.ravel_pytree(e0)
+            unwhiten_t = jax.linear_transpose(metric.unwhiten, e0)
+            whiten_t = jax.linear_transpose(metric.whiten, state.position)
+            g0_flat, _ = jax.flatten_util.ravel_pytree(
+                unwhiten_t(state.logdensity_grad)[0])
+            im_flat = jnp.ones_like(z0_flat)
+
+            def value_and_grad_flat(z):
+                q = metric.unwhiten(unravel(z))
+                v, gq = jax.value_and_grad(logdensity_fn)(q)
+                ge = unwhiten_t(gq)[0]
+                return v, jax.flatten_util.ravel_pytree(ge)[0]
+
+            def to_state(z_prop_flat, logp, g_prop_flat):
+                ge = unravel(g_prop_flat)
+                return NUTSState(metric.unwhiten(unravel(z_prop_flat)), logp,
+                                 whiten_t(ge)[0])
+
+        dim = z0_flat.shape[0]
 
         def leapfrog(z, r, g, direction):
             eps = direction * step_size
@@ -102,6 +143,14 @@ def build_kernel(
             return 0.5 * jnp.sum(im_flat * r * r)
 
         def is_turning(r_left, r_right, rho):
+            # Betancourt's generalized criterion (Stan/numpyro form): the
+            # boundary momenta enter the trajectory sum with weight 1/2.
+            # Without this correction the edge self-term |r_edge|^2 ~ +dim
+            # dominates the dot product in high dimension and U-turns are
+            # never detected (trees always run to max_tree_depth — observed
+            # at D=128: 173/200 draws at depth 8 before the fix, ~depth 4
+            # after).
+            rho = rho - 0.5 * (r_left + r_right)
             v_left = im_flat * r_left
             v_right = im_flat * r_right
             return jnp.logical_or(
@@ -345,9 +394,7 @@ def build_kernel(
         tree = out.tree
 
         accepted = jnp.any(tree.z_prop != z0_flat)
-        new_state = NUTSState(
-            unravel(tree.z_prop), tree.logp_prop, unravel(tree.g_prop)
-        )
+        new_state = to_state(tree.z_prop, tree.logp_prop, tree.g_prop)
         info = NUTSInfo(
             acceptance_prob=tree.sum_accept
             / jnp.maximum(tree.num_leaves.astype(jnp.float32), 1.0),

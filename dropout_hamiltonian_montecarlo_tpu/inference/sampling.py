@@ -46,8 +46,14 @@ def sample_posterior(
     initial_step_size: float = 0.1,
     target_acceptance: float = 0.8,
     thin: int = 1,
+    adapt_mass: bool = True,
 ) -> Posterior:
-    """Run (warmup -> sampling) for each chain under vmap; one XLA program."""
+    """Run (warmup -> sampling) for each chain under vmap; one XLA program.
+
+    adapt_mass=False: warmup adapts the step size only — the right choice
+    when the kernel carries its own metric (e.g. whitened NUTS/HMC under the
+    Kronecker Gauss-Newton metric), where the diagonal inv_mass argument is
+    ignored anyway."""
 
     def one_chain(chain_key, position):
         warm_key, sample_key = jax.random.split(chain_key)
@@ -57,6 +63,7 @@ def sample_posterior(
                 kernel, state, warm_key, num_warmup,
                 initial_step_size=initial_step_size,
                 target_acceptance=target_acceptance,
+                adapt_mass=adapt_mass,
             )
             state, step_size, inv_mass = warm.state, warm.step_size, warm.inv_mass
         else:
@@ -115,6 +122,9 @@ def sample_posterior_streaming(
     num_chains: int = 1,
     initial_step_size: float = 0.1,
     target_acceptance: float = 0.8,
+    adapt_mass: bool = True,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ):
     """Warmup once, then sample in CHUNKS, spooling each chunk's draws to the
     backend while sampling continues — the reference streams every draw to
@@ -125,22 +135,57 @@ def sample_posterior_streaming(
     Backend datasets get shape (total_draws, num_chains, ...): draws leading
     so appends are resizes on axis 0; read back and transpose for per-chain
     diagnostics.  Returns (final_states, step_size, inv_mass, num_appended).
+
+    checkpoint_path: after every chunk, atomically save the full resumable
+    state (chain states, adapted step sizes / inverse mass, the sampling PRNG
+    key, draws-done counter) — io/checkpoint.py.  With resume=True and an
+    existing checkpoint, warmup is SKIPPED, the saved key replaces the
+    caller's, and sampling continues at the next chunk; chunk keys are
+    fold_in(sample_key, chunk_index), so an interrupted+resumed run appends
+    exactly the draws the uninterrupted run would have (tested in
+    tests/test_io.py).  The reference had no resume path at all — 'nothing
+    ever reads the files back' (SURVEY.md §5).  Caveat: the chunk append and
+    the checkpoint write are two operations; a crash BETWEEN them duplicates
+    one chunk in the backend on resume (checkpoints are draw-counted, so the
+    overlap is detectable from ``step`` vs the backend length).
     """
     warm_key, sample_key = jax.random.split(key)
+    appended = 0
 
-    @jax.jit
-    def warm_all(keys, positions):
-        def one(k, p):
-            st = init_fn(p)
-            w = run_warmup(kernel, st, k, num_warmup,
-                           initial_step_size=initial_step_size,
-                           target_acceptance=target_acceptance)
-            return w.state, w.step_size, w.inv_mass
+    resumed = False
+    if resume and checkpoint_path is not None:
+        import os
 
-        return jax.vmap(one)(keys, positions)
+        if os.path.exists(checkpoint_path):
+            from ..io.checkpoint import load_checkpoint
 
-    keys = jax.random.split(warm_key, num_chains)
-    states, step_sizes, inv_mass = warm_all(keys, initial_positions)
+            template_states = jax.vmap(init_fn)(initial_positions)
+            extras_like = {
+                "step_size": jnp.zeros((num_chains,), jnp.float32),
+                "inv_mass": jax.tree_util.tree_map(
+                    jnp.zeros_like, initial_positions),
+            }
+            states, sample_key, appended, extras = load_checkpoint(
+                checkpoint_path, template_states, extras_like=extras_like)
+            step_sizes = extras["step_size"]
+            inv_mass = extras["inv_mass"]
+            resumed = True
+
+    if not resumed:
+        @jax.jit
+        def warm_all(keys, positions):
+            def one(k, p):
+                st = init_fn(p)
+                w = run_warmup(kernel, st, k, num_warmup,
+                               initial_step_size=initial_step_size,
+                               target_acceptance=target_acceptance,
+                               adapt_mass=adapt_mass)
+                return w.state, w.step_size, w.inv_mass
+
+            return jax.vmap(one)(keys, positions)
+
+        keys = jax.random.split(warm_key, num_chains)
+        states, step_sizes, inv_mass = warm_all(keys, initial_positions)
 
     @jax.jit
     def run_chunk(states, k):
@@ -154,9 +199,8 @@ def sample_posterior_streaming(
         ks = jax.random.split(k, num_chains)
         return jax.vmap(one)(states, ks, step_sizes, inv_mass)
 
-    appended = 0
     n_chunks = -(-num_samples // chunk_size)
-    for i in range(n_chunks):
+    for i in range(appended // chunk_size, n_chunks):
         states, pos = run_chunk(states, jax.random.fold_in(sample_key, i))
         take = min(chunk_size, num_samples - appended)
         # (chains, chunk, ...) -> (chunk, chains, ...), draws leading
@@ -164,4 +208,10 @@ def sample_posterior_streaming(
             lambda x: jnp.swapaxes(x, 0, 1)[:take], pos)
         backend.append(block)            # one D2H transfer per chunk
         appended += take
+        if checkpoint_path is not None:
+            from ..io.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, states, key=sample_key, step=appended,
+                extras={"step_size": step_sizes, "inv_mass": inv_mass})
     return states, step_sizes, inv_mass, appended

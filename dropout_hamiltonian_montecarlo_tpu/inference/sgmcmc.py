@@ -82,16 +82,27 @@ def sgld_init(position: Params) -> SGLDState:
 
 
 def build_sgld_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
-                      temperature: float = 1.0):
+                      temperature: float = 1.0, keyed: bool = False):
     """Returns step(key, state, batch, step_size) -> (state, info).
 
     theta <- theta + (eps/2) grad log p_hat(theta) + N(0, eps * T)
     (the correct Langevin discretization the reference's cpu/sgld.py:31-46
     approximates with nonstandard noise scaling).
-    """
+
+    keyed=True: ``logdensity_fn`` takes (params, batch, key) — the dropout-MLP
+    potential (models/mlp.py make_batched_logdensity(dropout=True)).  A fresh
+    mask key is split from the step key, so masks are deterministic per
+    (chain, step) and identical between the value and grad of one step —
+    the dropout-inside-MCMC capability the repo is named for (reference only
+    combined dropout with SGD: cpu/sgd.py:59-66 + gpu/mlp.py:19-31)."""
 
     def step(key, state: SGLDState, batch: Batch, step_size):
-        value, grad = jax.value_and_grad(logdensity_fn)(state.position, batch)
+        if keyed:
+            key, k_mask = jax.random.split(key)
+            ld = lambda q, b: logdensity_fn(q, b, k_mask)
+        else:
+            ld = logdensity_fn
+        value, grad = jax.value_and_grad(ld)(state.position, batch)
         noise = tree_randn_like(key, state.position)
         sigma = jnp.sqrt(step_size * temperature)
         position = jax.tree_util.tree_map(
@@ -123,7 +134,8 @@ def sghmc_init(position: Params) -> SGHMCState:
 
 def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
                        friction: float = 1.0, temperature: float = 1.0,
-                       num_leapfrog: int = 1, refresh_momentum: bool = False):
+                       num_leapfrog: int = 1, refresh_momentum: bool = False,
+                       keyed: bool = False):
     """Returns step(key, state, batch, step_size) -> (state, info).
 
     Per inner step (v is momentum with unit mass):
@@ -137,6 +149,10 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
     alone give the correct stationary distribution.  refresh_momentum=True
     resamples v ~ N(0, I) each outer step, matching the reference's
     draw_momentum-per-trajectory design (cpu/sghmc.py:21).
+
+    keyed=True: ``logdensity_fn`` takes (params, batch, key); a distinct mask
+    key per leapfrog step keeps masks deterministic per (chain, step) — see
+    build_sgld_kernel.
     """
 
     def step(key, state: SGHMCState, batch: Batch, step_size):
@@ -149,7 +165,12 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
 
         def inner(carry, k):
             q, v = carry
-            _, grad = jax.value_and_grad(logdensity_fn)(q, batch)
+            if keyed:
+                k, k_mask = jax.random.split(k)
+                ld = lambda qq, b: logdensity_fn(qq, b, k_mask)
+            else:
+                ld = logdensity_fn
+            _, grad = jax.value_and_grad(ld)(q, batch)
             eps_noise = tree_randn_like(k, q)
             v = jax.tree_util.tree_map(
                 lambda vi, gi, ei: (1.0 - friction * step_size) * vi
@@ -163,7 +184,10 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
         (position, momentum), _ = jax.lax.scan(
             inner, (state.position, momentum), keys
         )
-        value = logdensity_fn(position, batch)
+        if keyed:
+            value = logdensity_fn(position, batch, jax.random.fold_in(k_mom, 1))
+        else:
+            value = logdensity_fn(position, batch)
         return (
             SGHMCState(position, momentum, value),
             SGMCMCInfo(value, jnp.asarray(step_size)),

@@ -49,13 +49,51 @@ def synthetic_classification(n: int, d: int, k: int, seed: int = 0,
     return jnp.asarray(X), jnp.asarray(y)
 
 
+def _find_mnist_h5(path: Optional[str] = None) -> Optional[str]:
+    """Resolve a real mnist_train.h5: explicit path, $DHMC_DATA_DIR, or the
+    conventional ./data / repo-root locations (reference layout:
+    benchmarks/2.-MNIST.ipynb cell 2 reads '../data/mnist_train.h5')."""
+    if path is not None:
+        return path if os.path.exists(path) else None
+    candidates = []
+    env = os.environ.get("DHMC_DATA_DIR")
+    if env:
+        candidates.append(os.path.join(env, "mnist_train.h5"))
+    here = os.path.dirname(__file__)
+    candidates += [
+        os.path.join(os.getcwd(), "data", "mnist_train.h5"),
+        os.path.join(here, "..", "..", "data", "mnist_train.h5"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def mnist_provenance(path: Optional[str] = None) -> str:
+    """'hdf5:<path>' when a real MNIST file will be used, else
+    'synthetic-mnist' — carried into bench/CLI JSON lines so synthetic-data
+    numbers can never be misread as real-MNIST results."""
+    resolved = _find_mnist_h5(path)
+    return f"hdf5:{resolved}" if resolved else "synthetic-mnist"
+
+
+def plantvillage_provenance(path: Optional[str] = None) -> str:
+    if path is not None and os.path.exists(path):
+        return f"hdf5:{path}"
+    return "synthetic-plantvillage"
+
+
 def mnist(path: Optional[str] = None, split: str = "train"):
     """MNIST in the reference's HDF5 layout (X_train/y_train, X_test/y_test).
 
-    Without a file: deterministic MNIST-shaped synthetic data (60000/10000 x
-    784, 10 classes, pixel statistics in [0,1]) so the benchmark pipeline runs
-    in zero-egress environments with identical shapes and compute cost.
+    A real mnist_train.h5 is auto-discovered (see _find_mnist_h5) when
+    ``path`` is None.  Without one: deterministic MNIST-shaped synthetic data
+    (60000/10000 x 784, 10 classes, pixel statistics in [0,1]) so the
+    benchmark pipeline runs in zero-egress environments with identical shapes
+    and compute cost.
     """
+    path = _find_mnist_h5(path)
     if path is not None and os.path.exists(path):
         import h5py
 

@@ -89,3 +89,51 @@ def batched_diagonal_metric(inv_mass: Params) -> Metric:
 def unit_metric(position_like: Params) -> Metric:
     """Identity mass matrix (the reference's only option)."""
     return diagonal_metric(tree_ones_like(position_like))
+
+
+def dense_metric(mass_matrix: jnp.ndarray, position_like: Params) -> Metric:
+    """Full (dense) mass matrix M over the raveled parameter vector.
+
+    For targets whose curvature is known in closed form (e.g. a Gaussian with
+    precision M) this gives exact whitening: e = M^{1/2} q has an isotropic
+    posterior, so HMC/NUTS mix in O(1) trajectories regardless of M's
+    condition number — the capability a diagonal metric cannot provide
+    (cross-coordinate correlation).  Cost: one (D, D) eigendecomposition at
+    build time, two (D, D) matvecs per whiten/unwhiten.  For the structured
+    GLM case use ops/kron_metric.py instead (same math, Kronecker-factored,
+    no dense D x D ever materialized).
+    """
+    import jax.flatten_util
+
+    _, unravel = jax.flatten_util.ravel_pytree(position_like)
+    s, U = jnp.linalg.eigh(mass_matrix)
+    s = jnp.maximum(s, 1e-30)
+    sqrt_s = jnp.sqrt(s)
+
+    def _flat(tree):
+        return jax.flatten_util.ravel_pytree(tree)[0]
+
+    def sample_momentum(key, position):
+        eps = jax.random.normal(key, sqrt_s.shape, sqrt_s.dtype)
+        return unravel(U @ (sqrt_s * eps))
+
+    def kinetic_energy(momentum):
+        e = (U.T @ _flat(momentum)) / sqrt_s
+        return 0.5 * jnp.sum(e * e)
+
+    def kinetic_grad(momentum):
+        return unravel(U @ ((U.T @ _flat(momentum)) / s))
+
+    def sample_position(key, mean):
+        eps = jax.random.normal(key, sqrt_s.shape, sqrt_s.dtype)
+        return jax.tree_util.tree_map(
+            lambda m, d: m + d, mean, unravel(U @ (eps / sqrt_s)))
+
+    def whiten(dq):
+        return unravel(sqrt_s * (U.T @ _flat(dq)))
+
+    def unwhiten(e):
+        return unravel(U @ (_flat(e) / sqrt_s))
+
+    return Metric(sample_momentum, kinetic_energy, kinetic_grad,
+                  sample_position, whiten, unwhiten)

@@ -100,6 +100,44 @@ def test_mnist_hdf5_reference_format(tmp_path):
     assert y.shape == (32,)       # de-one-hotted
 
 
+def test_streaming_checkpoint_resume_exact(tmp_path):
+    """Interrupt + resume reproduces the uninterrupted run's draws EXACTLY
+    (VERDICT r2 item 7): chunk keys are fold_in(sample_key, chunk_index) and
+    the checkpoint carries (states, step sizes, inv mass, key, draws-done)."""
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.inference.sampling import (
+        init_chain_positions,
+        sample_posterior_streaming,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.models import MVNGaussian
+
+    dim, chains = 3, 2
+    model = MVNGaussian(jnp.zeros(dim), jnp.eye(dim) + 0.3)
+    logdensity = model.make_logdensity()
+    kernel = hmc.build_kernel(logdensity, num_integration_steps=4)
+    init_fn = lambda p: hmc.init(p, logdensity)
+    key = jax.random.key(0)
+    positions = init_chain_positions(model.init_params, key, chains)
+
+    def run(path, ckpt, num_samples, resume=False):
+        mode = "a" if resume else "w"
+        with HDF5Backend(path, mode=mode) as b:
+            sample_posterior_streaming(
+                init_fn, kernel, positions, key, b,
+                num_samples=num_samples, chunk_size=10, num_warmup=30,
+                num_chains=chains, checkpoint_path=ckpt, resume=resume)
+            return b.read()
+
+    # uninterrupted 40 draws
+    full = run(str(tmp_path / "full.h5"), str(tmp_path / "full.ckpt"), 40)
+    # interrupted at 20, then resumed to 40
+    p2, c2 = str(tmp_path / "part.h5"), str(tmp_path / "part.ckpt")
+    run(p2, c2, 20)
+    part = run(p2, c2, 40, resume=True)
+    assert part["x"].shape == full["x"].shape == (40, chains, dim)
+    np.testing.assert_array_equal(part["x"], full["x"])
+
+
 def test_streaming_collection_cli(tmp_path):
     """mvn-hmc --save --stream-chunk: draws are spooled to HDF5 in chunks
     during sampling; datasets come back (draws, chains, dim) and the summary

@@ -71,6 +71,92 @@ def test_inverse_time_decay_matches_reference_law():
     assert np.isclose(float(sched(10.0)), 0.1 / (1 + 0.1 * 10))
 
 
+def _mlp_problem(n=256, d=8, k=3, hidden=16):
+    from dropout_hamiltonian_montecarlo_tpu.models import DropoutMLP
+
+    key = jax.random.key(0)
+    kx, kw = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d))
+    true_w = jax.random.normal(kw, (d, k))
+    yi = jnp.argmax(X @ true_w, axis=-1)
+    y = one_hot(yi, k)
+    model = DropoutMLP(dim=d, hidden=hidden, n_classes=k, alpha=0.1,
+                       p_drop=0.2)
+    return model, (X, y), yi
+
+
+def test_sgld_dropout_potential_deterministic_per_step():
+    """Dropout-in-MCMC (the repo-title capability): the keyed SGLD kernel
+    threads a per-step mask key through the dropout-MLP potential; the same
+    driver key must reproduce the draws exactly (masks deterministic per
+    (chain, step))."""
+    model, (X, y), _ = _mlp_problem()
+    logdensity = model.make_batched_logdensity(data_size=X.shape[0],
+                                               dropout=True)
+    kernel = sgmcmc.build_sgld_kernel(logdensity, keyed=True)
+    state = sgmcmc.sgld_init(model.init_params(jax.random.key(7)))
+
+    def run():
+        _, positions, _ = sgmcmc.run_sgmcmc(
+            kernel, state, jax.random.key(11), (X, y), batch_size=64,
+            num_steps=60, step_size_schedule=sgmcmc.constant_schedule(1e-4),
+            collect_every=5, burnin_steps=10,
+        )
+        return positions
+
+    a, b = run(), run()
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_dropout_posterior_differs_from_nodropout():
+    """With the same seeds, the dropout potential must sample a DIFFERENT
+    posterior than the deterministic one — guards the round-2 silent-no-op
+    (CLI config 4 used to omit dropout from the potential entirely)."""
+    model, (X, y), _ = _mlp_problem()
+    ld_drop = model.make_batched_logdensity(data_size=X.shape[0],
+                                            dropout=True)
+    ld_plain = model.make_batched_logdensity(data_size=X.shape[0])
+    state = sgmcmc.sgld_init(model.init_params(jax.random.key(7)))
+
+    def run(kernel):
+        _, positions, _ = sgmcmc.run_sgmcmc(
+            kernel, state, jax.random.key(11), (X, y), batch_size=64,
+            num_steps=200, step_size_schedule=sgmcmc.constant_schedule(1e-4),
+            collect_every=10, burnin_steps=0,
+        )
+        return positions
+
+    pos_drop = run(sgmcmc.build_sgld_kernel(ld_drop, keyed=True))
+    pos_plain = run(sgmcmc.build_sgld_kernel(ld_plain))
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), pos_drop, pos_plain)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 1e-4, diffs
+
+
+def test_sghmc_dropout_runs_and_improves():
+    """Keyed SGHMC on the dropout-MLP potential: per-leapfrog-step masks,
+    posterior-mean prediction beats the init (BASELINE config 4 shape)."""
+    model, (X, y), yi = _mlp_problem(n=512)
+    logdensity = model.make_batched_logdensity(data_size=X.shape[0],
+                                               dropout=True)
+    kernel = sgmcmc.build_sghmc_kernel(logdensity, friction=1.0,
+                                       num_leapfrog=2, keyed=True)
+    params0 = model.init_params(jax.random.key(5))
+    state = sgmcmc.sghmc_init(params0)
+    _, positions, infos = sgmcmc.run_sgmcmc(
+        kernel, state, jax.random.key(6), (X, y), batch_size=64,
+        num_steps=1500, step_size_schedule=sgmcmc.constant_schedule(3e-4),
+        collect_every=10, burnin_steps=500,
+    )
+    assert np.all(np.isfinite(np.asarray(infos.logdensity)))
+    pm = jax.tree_util.tree_map(lambda p: p.mean(0), positions)
+    acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
+    acc0 = float(jnp.mean((model.predict(params0, X) == yi).astype(jnp.float32)))
+    assert acc > max(acc0, 0.5), (acc0, acc)
+
+
 def test_softmax_sgld_runs_and_improves():
     key = jax.random.key(0)
     kx, kp = jax.random.split(key)
