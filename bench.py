@@ -77,6 +77,7 @@ def main():
     )
     from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
         gram_eigh,
+        make_whitened_gauge_gibbs,
         natural_gradient_map,
         softmax_gauss_newton_metric,
     )
@@ -117,10 +118,15 @@ def main():
     # confident probs make the Fisher factor small, so M^-1 overshoots in
     # directions where K-FAC underestimates the true curvature.)
     t0 = time.time()
-    metric = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
-                                         probs=probs)
+    metric, metric_aux = softmax_gauss_newton_metric(
+        X, 10, alpha=ALPHA, gram=gram, probs=probs, return_aux=True)
     log(f"metric refresh @ MAP Fisher: {time.time() - t0:.1f}s")
     t_setup = time.time() - t_setup0
+
+    # exact Gibbs on the softmax gauge subspace (the likelihood-blind
+    # directions that dominate the min-ESS tail): resampled after every HMC
+    # draw, driving their ESS to the cap at zero dataset-pass cost
+    gauge_gibbs = make_whitened_gauge_gibbs(metric, metric_aux, qmap)
 
     # --- whitened-space HMC: e = M^{1/2}(q - qmap), posterior ~ N(0, I) ---
     def logdensity_e(e):
@@ -210,6 +216,7 @@ def main():
 
         def body(s, k):
             ns, info = kernel_b(k, s, step_sizes, inv_mass)
+            ns = gauge_gibbs(jax.random.fold_in(k, 1), ns)
             return ns, (ns.position, info)
 
         _, (pos, infos) = jax.lax.scan(body, st, keys)

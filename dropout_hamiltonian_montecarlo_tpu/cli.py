@@ -384,6 +384,11 @@ def cmd_plantvillage_smc(args):
         jax.tree_util.tree_map(lambda a: a[None], state.particles),
         X, max_draws=32)
     cal = calibration_report(pp, yi)
+    import numpy as np
+    sa = np.asarray(info.stage_acceptance)
+    sa = sa[~np.isnan(sa)]
+    ss = np.asarray(info.stage_step_size)
+    ss = ss[~np.isnan(ss)]
     print(json.dumps({
         "workload": "plantvillage-smc",
         "dataset": datasets.plantvillage_provenance(args.data),
@@ -392,6 +397,10 @@ def cmd_plantvillage_smc(args):
         "train_accuracy": acc,
         "num_stages": int(info.num_stages),
         "log_evidence": float(state.log_evidence),
+        "stage_acceptance_min": round(float(sa.min()), 4) if sa.size else None,
+        "stage_acceptance_max": round(float(sa.max()), 4) if sa.size else None,
+        "step_size_first_last": [round(float(ss[0]), 6),
+                                 round(float(ss[-1]), 6)] if ss.size else None,
         "elapsed_s": round(elapsed, 2),
     }))
 

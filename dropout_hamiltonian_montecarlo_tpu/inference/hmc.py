@@ -152,14 +152,33 @@ def build_batched_kernel(
     step_sizes is (C,), and inv_mass leaves are chain-batched.  Info fields
     are (C,)-vectors.  Trajectory length is fixed (no jitter): one compiled
     scan serves all chains, matching the flagship bench configuration.
+
+    ``key`` may be a single key (shared randomness drawn over the full chain
+    batch — the original behavior) or a (C,) PER-CHAIN key array: momentum
+    and accept draws are then derived per chain, which makes the kernel's
+    randomness independent of how the chain axis is blocked — the property
+    the sharded path needs (parallel/chains.sample_batched_sharded shards the
+    chain axis over devices; with per-chain keys the sharded run is
+    numerically IDENTICAL to the single-device run, asserted in
+    __graft_entry__.dryrun_multichip and tests/test_parallel.py).
     """
-    from ..ops.tree import tree_axpy_bcast
+    from ..ops.tree import tree_axpy_bcast, tree_randn_like
 
     def step(key, state: HMCState, step_sizes, inv_mass):
-        key_mom, key_accept = jax.random.split(key)
         m = batched_diagonal_metric(inv_mass)
 
-        momentum = m.sample_momentum(key_mom, state.position)
+        if jnp.ndim(key) == 1:
+            both = jax.vmap(lambda k: jax.random.split(k, 2))(key)  # (C, 2)
+            key_mom, key_accept = both[:, 0], both[:, 1]
+            # per-chain momentum: each chain's eps from its own key, scaled
+            # by the (chain-batched) diagonal mass
+            eps = jax.vmap(tree_randn_like)(key_mom, state.position)
+            momentum = jax.tree_util.tree_map(
+                lambda im, e: e / jnp.sqrt(im), inv_mass, eps)
+        else:
+            key_mom, key_accept = jax.random.split(key)
+            momentum = m.sample_momentum(key_mom, state.position)
+
         energy0 = -state.logdensity + m.kinetic_energy(momentum)    # (C,)
 
         start = IntegratorState(
@@ -198,7 +217,10 @@ def build_batched_kernel(
         accept_prob = jnp.minimum(1.0, jnp.exp(delta))
         is_divergent = jnp.abs(delta) > divergence_threshold
 
-        u = jax.random.uniform(key_accept, accept_prob.shape)
+        if jnp.ndim(key) == 1:
+            u = jax.vmap(lambda k: jax.random.uniform(k))(key_accept)
+        else:
+            u = jax.random.uniform(key_accept, accept_prob.shape)
         accept = u < accept_prob                                    # (C,)
         proposal = HMCState(end.position, end.logdensity, end.logdensity_grad)
         new_state = tree_where_bcast(accept, proposal, state)

@@ -57,7 +57,8 @@ def softmax_gauss_newton_metric(
     likelihood_scale: float = 1.0,
     probs=None,
     gram=None,
-) -> Metric:
+    return_aux: bool = False,
+):
     """Metric for params {'weights': (D, K), 'bias': (K,)}.
 
     likelihood_scale rescales the data term (use data_size/batch_size when the
@@ -72,6 +73,11 @@ def softmax_gauss_newton_metric(
     gram: optional precomputed (s_f, U_f) from gram_eigh(X) so a two-stage
     build (uniform metric -> MAP -> refreshed metric at MAP probs) pays for
     the D x D eigendecomposition once.
+
+    return_aux=True: returns (metric, aux) where aux carries the spectral
+    pieces {s_f, s_a, d_w, d_b} (host numpy / device arrays) — needed by
+    make_whitened_gauge_gibbs and by diagnostics that map slow coordinates
+    back to curvature.
     """
     n, d = X.shape
     k = n_classes
@@ -159,8 +165,87 @@ def softmax_gauss_newton_metric(
             "bias": e["bias"] / jnp.sqrt(d_b),
         })
 
-    return Metric(sample_momentum, kinetic_energy, kinetic_grad,
-                  sample_position, whiten, unwhiten)
+    metric = Metric(sample_momentum, kinetic_energy, kinetic_grad,
+                    sample_position, whiten, unwhiten)
+    if return_aux:
+        return metric, {"s_f": s_f, "s_a": s_a, "d_w": d_w,
+                        "d_b": d_b, "alpha": float(alpha)}
+    return metric
+
+
+def make_whitened_gauge_gibbs(metric: Metric, aux, qmap):
+    """Exact Gibbs resampler for the softmax GAUGE subspace, in the metric's
+    whitened coordinates.
+
+    The softmax likelihood is exactly invariant under uniform logit shifts
+    W += v 1_K^T, b += beta 1_K (for any v in R^D): every row of the logits
+    moves by the same constant, which softmax normalizes away.  In the
+    Kronecker eigenbasis that (D+1)-dimensional subspace is the class-Fisher
+    null column j0 = argmin s_a (A 1 = p_bar - P^T P 1 / n = 0 exactly), so
+    the posterior conditional of those whitened coordinates is pure prior —
+    Gaussian, INDEPENDENT of every other coordinate:
+
+        e_(i,j0) ~ N(-whiten(qmap)_(i,j0), d_w(i,j0)/alpha)
+
+    (the variance is ~1 up to the numerically-zero null eigenvalue).
+    Resampling them i.i.d. each draw is an exact Gibbs move: it drives their
+    ESS to the draw-count cap, where plain HMC leaves them as the slowest
+    directions in the posterior (prior-dominated, likelihood-blind — the
+    min-ESS tail of the headline bench).  The density is separable across
+    the gauge block, so the state's cached logdensity/grad are updated
+    ANALYTICALLY — no extra dataset pass.
+
+    Returns gibbs(key, state) -> state for chain-batched whitened HMCState
+    (position/grad leaves (C, D, K) and (C, K), logdensity (C,)).
+    """
+    alpha_w = np.asarray(aux["d_w"])  # (D, K)
+    s_a = np.asarray(aux["s_a"])
+    j0 = int(np.argmin(s_a))
+    # conditional scale sqrt(d/alpha): ~1 + O(s_f * s_a_null / alpha)
+    d_col = jnp.asarray(alpha_w[:, j0], jnp.float32)            # (D,)
+    alpha = float(aux["alpha"])
+    sig_w = jnp.sqrt(d_col / alpha)                             # (D,)
+    d_b0 = float(np.asarray(aux["d_b"])[j0])
+    sig_b = jnp.float32(np.sqrt(d_b0 / alpha))
+
+    wq = metric.whiten(qmap)
+    m_w = -wq["weights"][:, j0]                                 # (D,)
+    m_b = -wq["bias"][j0]                                       # ()
+
+    def gibbs(key, state):
+        e = state.position
+        g = state.logdensity_grad
+        c = e["bias"].shape[0]
+        kw, kb = jax.random.split(key)
+        eps_w = jax.random.normal(kw, (c, m_w.shape[0]), jnp.float32)
+        eps_b = jax.random.normal(kb, (c,), jnp.float32)
+
+        old_w = e["weights"][:, :, j0]                          # (C, D)
+        old_b = e["bias"][:, j0]                                # (C,)
+        zold_w = (old_w - m_w[None]) / sig_w[None]
+        zold_b = (old_b - m_b) / sig_b
+        new_w = m_w[None] + sig_w[None] * eps_w
+        new_b = m_b + sig_b * eps_b
+
+        # log N(e; m, sig^2) difference, dropping the shared normalizer
+        delta = -0.5 * (
+            jnp.sum(eps_w**2 - zold_w**2, axis=-1) + eps_b**2 - zold_b**2
+        )
+        position = {
+            "weights": e["weights"].at[:, :, j0].set(new_w),
+            "bias": e["bias"].at[:, j0].set(new_b),
+        }
+        # d logp / d e = -(e - m)/sig^2 at the gauge coords, others unchanged
+        grad = {
+            "weights": g["weights"].at[:, :, j0].set(
+                -eps_w / sig_w[None]),
+            "bias": g["bias"].at[:, j0].set(-eps_b / sig_b),
+        }
+        return state._replace(position=position,
+                              logdensity=state.logdensity + delta,
+                              logdensity_grad=grad)
+
+    return gibbs
 
 
 def natural_gradient_map(logdensity_fn, metric: Metric, init_params,

