@@ -302,13 +302,36 @@ def cmd_mnist_mlp_sgmcmc(args):
     dropout = args.p_drop > 0.0
     logdensity = model.make_batched_logdensity(data_size=X.shape[0],
                                                dropout=dropout)
+
+    params0 = model.init_params(jax.random.key(args.seed))
+    sgd_s = 0.0
+    if args.sgd_init_steps > 0:
+        # warm start at an SGD mode — the reference's own workflow (SGD
+        # baseline first, then the sampler: benchmarks/2.-MNIST.ipynb cells
+        # 3/5).  SG-MCMC burn-in from a cold glorot init would need O(1e5)
+        # steps just to travel to the typical set.
+        from .inference import sgd as sgd_mod
+
+        plain_ld = model.make_batched_logdensity(data_size=X.shape[0])
+        sgd_kernel = sgd_mod.build_sgd_kernel(plain_ld)
+        t0 = time.time()
+        sgd_state, losses = jax.jit(
+            lambda st, k: sgd_mod.fit(
+                sgd_kernel, st, k, (X, y), batch_size=args.batch_size,
+                num_steps=args.sgd_init_steps,
+                step_size=args.sgd_step_size)
+        )(sgd_mod.sgd_init(params0), jax.random.key(args.seed + 2))
+        jax.block_until_ready(sgd_state.position)
+        sgd_s = time.time() - t0
+        params0 = sgd_state.position
+
     if args.algorithm == "sghmc":
         kernel = sgmcmc.build_sghmc_kernel(logdensity, friction=args.friction,
                                            keyed=dropout)
-        state = sgmcmc.sghmc_init(model.init_params(jax.random.key(args.seed)))
+        state = sgmcmc.sghmc_init(params0)
     else:
         kernel = sgmcmc.build_sgld_kernel(logdensity, keyed=dropout)
-        state = sgmcmc.sgld_init(model.init_params(jax.random.key(args.seed)))
+        state = sgmcmc.sgld_init(params0)
 
     t0 = time.time()
     _, positions, infos = sgmcmc.run_sgmcmc(
@@ -329,15 +352,35 @@ def cmd_mnist_mlp_sgmcmc(args):
         jax.tree_util.tree_map(lambda a: a[None], positions),  # add chain axis
         X, max_draws=32)
     cal = calibration_report(pp, yi)
+    # MC-dropout predictive (the reference's predict_stochastic half,
+    # cpu/softmax.py:91-100): average fresh-mask stochastic forwards at the
+    # posterior mean
+    if dropout:
+        @jax.jit
+        def mc_probs(pm, key):
+            ks = jax.random.split(key, 16)
+            return jnp.mean(jax.vmap(
+                lambda k: model.predict_stochastic(pm, X, k, prob=True)
+            )(ks), axis=0)
+
+        mcp = mc_probs(pm, jax.random.key(args.seed + 3))
+        mc_acc = float(jnp.mean((jnp.argmax(mcp, -1) == yi)
+                                .astype(jnp.float32)))
+    else:
+        mc_acc = None
+
     print(json.dumps({
         "workload": f"mnist-mlp-{args.algorithm}",
         "dataset": datasets.mnist_provenance(args.data),
         "dropout": dropout,
         "p_drop": args.p_drop,
+        "mc_dropout_accuracy": mc_acc,
         "train_accuracy": acc,
         "predictive_accuracy": cal["accuracy"],
         "predictive_ece": round(cal["ece"], 4),
         "predictive_nll": round(cal["nll"], 4),
+        "sgd_init_steps": args.sgd_init_steps,
+        "sgd_init_s": round(sgd_s, 2),
         "elapsed_s": round(elapsed, 2),
         "steps_per_sec": round(args.num_steps / elapsed, 1),
     }))
@@ -441,10 +484,15 @@ def main(argv=None):
     p.add_argument("--p-drop", type=float, default=0.1)
     p.add_argument("--friction", type=float, default=1.0)
     p.add_argument("--batch-size", type=int, default=1024)
-    p.add_argument("--num-steps", type=int, default=2000)
-    p.add_argument("--burnin-steps", type=int, default=500)
+    p.add_argument("--num-steps", type=int, default=3000)
+    p.add_argument("--burnin-steps", type=int, default=1000)
     p.add_argument("--collect-every", type=int, default=10)
     p.add_argument("--step-size", type=float, default=1e-5)
+    p.add_argument("--sgd-init-steps", type=int, default=3000,
+                   help="SGD warm-start steps before sampling (reference "
+                        "workflow: SGD baseline, then the sampler); 0 = cold")
+    p.add_argument("--sgd-step-size", type=float, default=2e-7,
+                   help="SGD step on the n-scaled logdensity: lr_eff on the\n                        mean loss is step*n/(1-gamma) ~ 0.12 at defaults")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_mnist_mlp_sgmcmc)
 
