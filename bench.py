@@ -76,7 +76,7 @@ def main():
         effective_sample_size,
     )
     from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
-        gram_eigh,
+        gram_eigh_augmented,
         make_whitened_gauge_gibbs,
         natural_gradient_map,
         softmax_gauss_newton_metric,
@@ -94,8 +94,9 @@ def main():
 
     # --- metric stage 1: uniform-Fisher Kronecker metric -> Newton MAP ---
     t0 = time.time()
-    gram = gram_eigh(X)
-    metric0 = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram)
+    gram = gram_eigh_augmented(X)
+    metric0 = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
+                                          augmented=True)
     log(f"Gram eigh: {time.time() - t0:.1f}s")
 
     logdensity = model.make_logdensity(batch=(X, y))
@@ -119,7 +120,8 @@ def main():
     # directions where K-FAC underestimates the true curvature.)
     t0 = time.time()
     metric, metric_aux = softmax_gauss_newton_metric(
-        X, 10, alpha=ALPHA, gram=gram, probs=probs, return_aux=True)
+        X, 10, alpha=ALPHA, gram=gram, probs=probs, return_aux=True,
+        augmented=True)
     log(f"metric refresh @ MAP Fisher: {time.time() - t0:.1f}s")
     t_setup = time.time() - t_setup0
 

@@ -231,15 +231,15 @@ def cmd_mnist_nuts(args):
         # here driving whitened-space NUTS (adaptive trajectories instead of
         # the bench's fixed-length HMC).
         from .ops.kron_metric import (
-            gram_eigh,
+            gram_eigh_augmented,
             natural_gradient_map,
             softmax_gauss_newton_metric,
         )
 
         t0 = time.time()
-        gram = gram_eigh(X)
+        gram = gram_eigh_augmented(X)
         metric0 = softmax_gauss_newton_metric(X, 10, alpha=args.alpha,
-                                              gram=gram)
+                                              gram=gram, augmented=True)
 
         @jax.jit
         def map_stage(k):
@@ -249,7 +249,8 @@ def cmd_mnist_nuts(args):
 
         qmap, probs = map_stage(key)
         metric = softmax_gauss_newton_metric(X, 10, alpha=args.alpha,
-                                             gram=gram, probs=probs)
+                                             gram=gram, probs=probs,
+                                             augmented=True)
         adapt_mass = False
         positions = jax.vmap(
             lambda k: metric.sample_position(k, qmap)

@@ -50,6 +50,22 @@ def gram_eigh(X):
     return np.maximum(s_f, 0.0), U_f
 
 
+def gram_eigh_augmented(X):
+    """Eigendecomposition of the AUGMENTED Gram [X, 1]^T [X, 1] =
+    [[X^T X, n xbar], [n xbar^T, n]] — the feature factor of the exact
+    Gauss-Newton metric with the bias treated as the constant feature's
+    weight (softmax_gauss_newton_metric(augmented=True)).  Returns host
+    (s_g, U_g) of shape ((D+1,), (D+1, D+1)), float64."""
+    Xd = jnp.asarray(X)
+    n = Xd.shape[0]
+    F = np.asarray(jnp.matmul(Xd.T, Xd,
+                              preferred_element_type=jnp.float32), np.float64)
+    xbar_n = np.asarray(jnp.sum(Xd, axis=0), np.float64)    # n * xbar
+    G = np.block([[F, xbar_n[:, None]], [xbar_n[None, :], np.array([[float(n)]])]])
+    s_g, U_g = np.linalg.eigh(G)
+    return np.maximum(s_g, 0.0), U_g
+
+
 def softmax_gauss_newton_metric(
     X,
     n_classes: int,
@@ -58,6 +74,7 @@ def softmax_gauss_newton_metric(
     probs=None,
     gram=None,
     return_aux: bool = False,
+    augmented: bool = False,
 ):
     """Metric for params {'weights': (D, K), 'bias': (K,)}.
 
@@ -72,13 +89,35 @@ def softmax_gauss_newton_metric(
 
     gram: optional precomputed (s_f, U_f) from gram_eigh(X) so a two-stage
     build (uniform metric -> MAP -> refreshed metric at MAP probs) pays for
-    the D x D eigendecomposition once.
+    the D x D eigendecomposition once.  With augmented=True pass
+    gram_eigh_augmented(X) instead.
 
     return_aux=True: returns (metric, aux) where aux carries the spectral
     pieces {s_f, s_a, d_w, d_b} (host numpy / device arrays) — needed by
     make_whitened_gauge_gibbs and by diagnostics that map slow coordinates
     back to curvature.
+
+    augmented=True: treat the bias as the weight of a CONSTANT feature and
+    build the Kronecker metric over the (D+1)-dim augmented feature space
+    [x, 1]: M = A (x) G_aug + alpha I with G_aug = [X,1]^T [X,1].  This is
+    the EXACT Gauss-Newton-plus-prior metric — the prior is isotropic in
+    augmented coordinates (alpha ||W||^2 + alpha ||b||^2 = alpha
+    ||W_aug||^2), so unlike separate weight/bias blocks there is NO
+    factorization error across the weights<->bias boundary.  That boundary
+    is where the un-augmented metric fails on all-positive pixel data: the
+    top Gram eigendirection u has X u ~ const across examples, so the
+    weight direction u (x) a aliases the bias direction a — only their sum
+    is data-identified, and the block-diagonal metric overestimates the
+    soft difference direction's curvature ~350x (measured whitened std
+    17-19 on exactly those coordinates — the entire min-ESS tail of the
+    headline bench).  The augmented eigenbasis represents the aliasing
+    exactly.  Whitened coordinates keep the {'weights','bias'} pytree
+    structure (rows 0..D-1 and row D of the augmented eigen array), so all
+    downstream drivers are unchanged.
     """
+    if augmented:
+        return _augmented_gn_metric(X, n_classes, alpha, likelihood_scale,
+                                    probs, gram, return_aux)
     n, d = X.shape
     k = n_classes
 
@@ -170,6 +209,75 @@ def softmax_gauss_newton_metric(
     if return_aux:
         return metric, {"s_f": s_f, "s_a": s_a, "d_w": d_w,
                         "d_b": d_b, "alpha": float(alpha)}
+    return metric
+
+
+def _class_fisher_eigh(n_classes, probs):
+    k = n_classes
+    if probs is None:
+        A = np.eye(k) / k - np.ones((k, k)) / (k * k)
+    else:
+        P = jnp.asarray(probs)
+        A_dev = jnp.diag(jnp.mean(P, 0)) - (P.T @ P) / P.shape[0]
+        A = np.asarray(A_dev, np.float64)
+    s_a, U_a = np.linalg.eigh(A)
+    return np.maximum(s_a, 0.0), U_a
+
+
+def _augmented_gn_metric(X, n_classes, alpha, likelihood_scale, probs, gram,
+                         return_aux):
+    """See softmax_gauss_newton_metric(augmented=True)."""
+    s_g, U_g = gram if gram is not None else gram_eigh_augmented(X)
+    s_a, U_a = _class_fisher_eigh(n_classes, probs)
+
+    c = likelihood_scale
+    U_g = jnp.asarray(U_g, jnp.float32)      # (D+1, D+1)
+    U_a = jnp.asarray(U_a, jnp.float32)      # (K, K)
+    d_aug = jnp.asarray(c * np.outer(s_g, s_a) + alpha, jnp.float32)  # (D+1,K)
+    sqrt_d = jnp.sqrt(d_aug)
+
+    def pack(p):
+        return jnp.concatenate([p["weights"], p["bias"][None, :]], axis=0)
+
+    def unpack(wa):
+        return {"weights": wa[:-1], "bias": wa[-1]}
+
+    def to_eigen(p):
+        return U_g.T @ pack(p) @ U_a
+
+    def from_eigen(e):
+        return unpack(U_g @ e @ U_a.T)
+
+    def sample_momentum(key, position):
+        eps = jax.random.normal(key, d_aug.shape, jnp.float32)
+        return from_eigen(sqrt_d * eps)
+
+    def kinetic_energy(momentum):
+        e = to_eigen(momentum)
+        return 0.5 * jnp.sum(e * e / d_aug)
+
+    def kinetic_grad(momentum):
+        return from_eigen(to_eigen(momentum) / d_aug)
+
+    def sample_position(key, mean):
+        eps = jax.random.normal(key, d_aug.shape, jnp.float32)
+        delta = from_eigen(eps / sqrt_d)
+        return {"weights": mean["weights"] + delta["weights"],
+                "bias": mean["bias"] + delta["bias"]}
+
+    def whiten(dq):
+        e = sqrt_d * to_eigen(dq)
+        return unpack(e)
+
+    def unwhiten(e):
+        return from_eigen(pack(e) / sqrt_d)
+
+    metric = Metric(sample_momentum, kinetic_energy, kinetic_grad,
+                    sample_position, whiten, unwhiten)
+    if return_aux:
+        return metric, {"s_f": s_g[:-1], "s_g": s_g, "s_a": s_a,
+                        "d_w": d_aug[:-1], "d_b": d_aug[-1],
+                        "alpha": float(alpha), "augmented": True}
     return metric
 
 

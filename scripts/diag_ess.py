@@ -52,7 +52,7 @@ def main():
         effective_sample_size,
     )
     from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
-        gram_eigh,
+        gram_eigh_augmented,
         natural_gradient_map,
         softmax_gauss_newton_metric,
     )
@@ -63,9 +63,10 @@ def main():
     X, y = jax.device_put(X), jax.device_put(y)
     model = Softmax(dim=784, n_classes=10, alpha=ALPHA)
 
-    gram = gram_eigh(X)
+    gram = gram_eigh_augmented(X)
     s_f = np.asarray(gram[0])
-    metric0 = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram)
+    metric0 = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
+                                          augmented=True)
     logdensity = model.make_logdensity(batch=(X, y))
 
     @jax.jit
@@ -84,7 +85,7 @@ def main():
     s_a = np.maximum(np.linalg.eigvalsh(A), 0.0)
 
     metric = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
-                                         probs=probs)
+                                         probs=probs, augmented=True)
 
     use_pallas = jax.default_backend() == "tpu"
     e_example = {"weights": jnp.zeros((784, 10), jnp.float32),

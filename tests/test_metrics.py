@@ -165,3 +165,82 @@ def test_whitened_gauge_gibbs_exact_update():
     np.testing.assert_allclose(
         np.asarray(new.logdensity - val_old),
         np.asarray(val_ref - val_old), rtol=2e-5, atol=5e-3)
+
+
+def test_augmented_metric_whitens_positive_feature_softmax():
+    """augmented=True (VERDICT r2 item 4, the min-ESS mechanism): for
+    all-positive features the top Gram direction is quasi-constant across
+    examples and aliases the bias; the separate-blocks Kronecker metric
+    cannot represent that weights<->bias cross-block curvature and
+    overestimates the soft difference direction's mass by orders of
+    magnitude.  Test: the EXACT posterior Hessian at the MAP, pulled back
+    through unwhiten, must be ~identity under the augmented-feature metric —
+    and must have a far-out eigenvalue under the block one."""
+    import jax.flatten_util
+    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
+    from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
+        gram_eigh,
+        gram_eigh_augmented,
+        natural_gradient_map,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.utils import one_hot
+
+    key = jax.random.key(0)
+    n, d, k = 600, 8, 3
+    # all-positive features with a large shared mean -> quasi-constant top
+    # Gram direction (the MNIST pixel situation)
+    X = 1.0 + 0.3 * jnp.abs(jax.random.normal(key, (n, d)))
+    yi = jax.random.randint(jax.random.key(1), (n,), 0, k)
+    Y = one_hot(yi, k)
+    model = Softmax(dim=d, n_classes=k, alpha=0.5)
+    logdensity = model.make_logdensity(batch=(X, Y))
+
+    def build(augmented):
+        gram = (gram_eigh_augmented(X) if augmented else gram_eigh(X))
+        m0 = softmax_gauss_newton_metric(X, k, alpha=0.5, gram=gram,
+                                         augmented=augmented)
+        qmap = natural_gradient_map(logdensity, m0,
+                                    model.init_params(key), num_steps=60)
+        probs = model.predict(qmap, X, prob=True)
+        return softmax_gauss_newton_metric(X, k, alpha=0.5, gram=gram,
+                                           probs=probs,
+                                           augmented=augmented), qmap
+
+    def whitened_hessian_eigs(metric, qmap):
+        e0 = metric.whiten(qmap)
+        flat, unravel = jax.flatten_util.ravel_pytree(e0)
+
+        def ld_e(ef):
+            q = metric.unwhiten(unravel(ef))
+            return logdensity(q)
+
+        H = jax.hessian(ld_e)(flat)
+        return np.linalg.eigvalsh(-np.asarray(H))
+
+    m_c, qmap_c = build(True)
+    eig_c = whitened_hessian_eigs(m_c, qmap_c)
+    # augmented: every whitened curvature within a small factor of 1
+    assert eig_c.min() > 0.2 and eig_c.max() < 5.0, (eig_c.min(), eig_c.max())
+
+    m_u, qmap_u = build(False)
+    eig_u = whitened_hessian_eigs(m_u, qmap_u)
+    # separate blocks: the aliased soft direction shows up as a tiny
+    # whitened curvature (mass overestimated)
+    assert eig_u.min() < 0.05, eig_u.min()
+
+    # transform consistency: unwhiten(whiten(x)) == x, kinetic_grad is the
+    # gradient of kinetic_energy, through the P-wrapped maps
+    p = {"weights": jax.random.normal(jax.random.key(2), (d, k)),
+         "bias": jax.random.normal(jax.random.key(3), (k,))}
+    rt = m_c.unwhiten(m_c.whiten(p))
+    np.testing.assert_allclose(np.asarray(rt["weights"]),
+                               np.asarray(p["weights"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rt["bias"]),
+                               np.asarray(p["bias"]), rtol=1e-4, atol=1e-4)
+    kg = m_c.kinetic_grad(p)
+    kg_ad = jax.grad(lambda q: m_c.kinetic_energy(q))(p)
+    np.testing.assert_allclose(np.asarray(kg["weights"]),
+                               np.asarray(kg_ad["weights"]),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kg["bias"]),
+                               np.asarray(kg_ad["bias"]), rtol=1e-3, atol=1e-4)
