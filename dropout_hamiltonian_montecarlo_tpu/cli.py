@@ -257,6 +257,9 @@ def cmd_mnist_nuts(args):
         )(jax.random.split(key, args.chains))
         jax.block_until_ready(positions)
         setup_s = time.time() - t0
+    kernel = nuts.build_kernel(logdensity, max_tree_depth=args.max_depth,
+                               metric=metric)
+    init_fn = lambda p: nuts.init(p, logdensity)
     draws, streamed, compile_s, run_s = _run_chains(
         args, init_fn, kernel, positions, key, adapt_mass=adapt_mass)
 

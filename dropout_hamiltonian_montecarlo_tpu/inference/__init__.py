@@ -2,6 +2,7 @@
 
 from . import (
     base,
+    chees,
     hmc,
     metropolis,
     nuts,
@@ -15,6 +16,7 @@ from . import (
 
 __all__ = [
     "base",
+    "chees",
     "hmc",
     "metropolis",
     "nuts",
