@@ -61,7 +61,10 @@ def log(*a):
 NUM_CHAINS = 128             # folds to 1280 MXU lanes = 10 perfect tiles
 NUM_WARMUP = 300
 NUM_SAMPLES = 1000
-NUM_INTEGRATION_STEPS = 12   # fixed-length: jitter halves mean trajectory
+# fixed trajectory length; BENCH_L overrides, BENCH_CHEES=1 instead tunes it
+# with the cross-chain ChEES criterion (inference/chees.py) during warmup
+NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "12"))
+USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
 TARGET_ACCEPT = 0.65         # d^(-1/4) regime: bigger steps beat 0.8 here
 ALPHA = 1.0
 
@@ -173,11 +176,6 @@ def main():
         batched_vag = jax.vmap(_vag1)
         batched_grad = None
 
-    # lazy-value trajectories: L-1 grad-only leapfrog steps + ONE accurate
-    # value+grad at the proposal (the MH accept only needs endpoint energies)
-    kernel_b = hmc.build_batched_kernel(batched_vag, NUM_INTEGRATION_STEPS,
-                                        grad_fn=batched_grad)
-
     def laplace_init(key):
         # Laplace init is exactly e ~ N(0, I) in whitened coordinates
         ks = jax.random.split(key, 2)
@@ -187,29 +185,74 @@ def main():
             "bias": jax.random.normal(ks[1], (NUM_CHAINS, 10), jnp.float32),
         }
 
-    @jax.jit
-    def warm(key):
-        E0 = laplace_init(jax.random.fold_in(key, 0))
-        state = hmc.batched_init(E0, batched_vag)
-        # per-chain dual averaging on the SAME batched kernel: one compiled
-        # scan, one dataset pass per leapfrog step for all chains.
-        # adapt_mass=False: the Kronecker metric already whitens; Welford
-        # variance from short unmixed windows only degrades the scale.
-        return run_warmup(kernel_b, state, jax.random.fold_in(key, 1),
-                          NUM_WARMUP,
-                          initial_step_size=jnp.full((NUM_CHAINS,), 0.1,
-                                                     jnp.float32),
-                          target_acceptance=TARGET_ACCEPT,
-                          adapt_mass=False)
+    if USE_CHEES:
+        # cross-chain ChEES warmup (inference/chees.py): jointly adapts a
+        # SHARED (step size, trajectory length); the sampling kernel then
+        # runs at the tuned fixed L instead of the hand-picked BENCH_L
+        from dropout_hamiltonian_montecarlo_tpu.inference.chees import (
+            run_chees_warmup,
+        )
 
-    t0 = time.time()
-    warmres = warm(jax.random.key(1))
-    jax.block_until_ready(warmres.step_size)
-    t_warm = time.time() - t0
-    ss = np.asarray(warmres.step_size)
-    log(f"warmup ({NUM_WARMUP} steps, incl compile): {t_warm:.1f}s; "
-        f"step size median={np.median(ss):.4f} min={ss.min():.4f} "
-        f"max={ss.max():.4f}")
+        @jax.jit
+        def warm_chees(key):
+            E0 = laplace_init(jax.random.fold_in(key, 0))
+            state = hmc.batched_init(E0, batched_vag)
+            return run_chees_warmup(
+                batched_vag, state, jax.random.fold_in(key, 1), NUM_WARMUP,
+                initial_step_size=0.1, target_acceptance=TARGET_ACCEPT,
+                max_leapfrog_steps=64)
+
+        t0 = time.time()
+        cres = warm_chees(jax.random.key(1))
+        jax.block_until_ready(cres.step_size)
+        t_warm = time.time() - t0
+        num_steps = max(int(cres.num_integration_steps), 1)
+        log(f"ChEES warmup ({NUM_WARMUP} steps, incl compile): {t_warm:.1f}s; "
+            f"eps={float(cres.step_size):.4f} "
+            f"T={float(cres.trajectory_length):.3f} -> L={num_steps}")
+
+        warm_state = cres.state
+        warm_step_size = jnp.full((NUM_CHAINS,), cres.step_size, jnp.float32)
+        warm_inv_mass = jax.tree_util.tree_map(jnp.ones_like, e_example)
+        warm_inv_mass = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (NUM_CHAINS,) + x.shape),
+            warm_inv_mass)
+    else:
+        num_steps = NUM_INTEGRATION_STEPS
+
+    # lazy-value trajectories: L-1 grad-only leapfrog steps + ONE accurate
+    # value+grad at the proposal (the MH accept only needs endpoint energies)
+    kernel_b = hmc.build_batched_kernel(batched_vag, num_steps,
+                                        grad_fn=batched_grad)
+
+    if not USE_CHEES:
+        @jax.jit
+        def warm(key):
+            E0 = laplace_init(jax.random.fold_in(key, 0))
+            state = hmc.batched_init(E0, batched_vag)
+            # per-chain dual averaging on the SAME batched kernel: one
+            # compiled scan, one dataset pass per leapfrog step for all
+            # chains.  adapt_mass=False: the Kronecker metric already
+            # whitens; Welford variance from short unmixed windows only
+            # degrades the scale.
+            return run_warmup(kernel_b, state, jax.random.fold_in(key, 1),
+                              NUM_WARMUP,
+                              initial_step_size=jnp.full((NUM_CHAINS,), 0.1,
+                                                         jnp.float32),
+                              target_acceptance=TARGET_ACCEPT,
+                              adapt_mass=False)
+
+        t0 = time.time()
+        warmres = warm(jax.random.key(1))
+        jax.block_until_ready(warmres.step_size)
+        t_warm = time.time() - t0
+        warm_state = warmres.state
+        warm_step_size = warmres.step_size
+        warm_inv_mass = warmres.inv_mass
+        ss = np.asarray(warmres.step_size)
+        log(f"warmup ({NUM_WARMUP} steps, incl compile): {t_warm:.1f}s; "
+            f"step size median={np.median(ss):.4f} min={ss.min():.4f} "
+            f"max={ss.max():.4f}")
 
     @jax.jit
     def sample(states, step_sizes, inv_mass, key):
@@ -251,8 +294,8 @@ def main():
     )
 
     t0 = time.time()
-    e_draws, infos = sample(warmres.state, warmres.step_size,
-                            warmres.inv_mass, jax.random.key(2))
+    e_draws, infos = sample(warm_state, warm_step_size,
+                            warm_inv_mass, jax.random.key(2))
     jax.block_until_ready(e_draws["bias"])
     log(f"sampling (incl compile): {time.time() - t0:.1f}s")
 
@@ -260,11 +303,11 @@ def main():
     ctx = device_trace(trace_dir) if trace_dir else contextlib.nullcontext()
     stats = SamplerStats(num_chains=NUM_CHAINS).start()
     with ctx:
-        e_draws, infos = sample(warmres.state, warmres.step_size,
-                                warmres.inv_mass, jax.random.key(3))
+        e_draws, infos = sample(warm_state, warm_step_size,
+                                warm_inv_mass, jax.random.key(3))
         jax.block_until_ready(e_draws["bias"])
     stats.stop(draws=NUM_CHAINS * NUM_SAMPLES,
-               grad_evals=NUM_CHAINS * NUM_SAMPLES * NUM_INTEGRATION_STEPS)
+               grad_evals=NUM_CHAINS * NUM_SAMPLES * num_steps)
     t_sample = stats.seconds
     ess = np.asarray(ess_of(e_draws))
 
@@ -309,6 +352,8 @@ def main():
             "amortized_setup_seconds": round(t_setup, 1),
             "amortized_warmup_seconds": round(t_warm, 1),
             "path": "pallas" if use_pallas else "xla",
+            "num_integration_steps": num_steps,
+            "warmup": "chees" if USE_CHEES else "dual-averaging",
             "dataset": dataset_provenance,
         },
     }))

@@ -27,7 +27,7 @@ def _autocovariance_fft(x):
     return acov / n
 
 
-def effective_sample_size(samples, block_size: int = 0) -> jnp.ndarray:
+def effective_sample_size(samples, block_size=None) -> jnp.ndarray:
     """ESS per parameter.
 
     samples: (num_chains, num_draws) or (num_chains, num_draws, ...) — extra
@@ -36,7 +36,10 @@ def effective_sample_size(samples, block_size: int = 0) -> jnp.ndarray:
     block_size > 0 processes the parameter axis in sequential blocks
     (lax.map): the FFT autocovariance buffer is (P, C, 2*draws) complex, so
     at e.g. P=7850, C=128, draws=1000 the all-at-once batch is ~16 GB —
-    blocking bounds it at block_size/P of that.
+    blocking bounds it at block_size/P of that.  block_size=None (default)
+    picks a block bounding the buffer at ~256 MB automatically (observed:
+    summarize() on a (128, 200, 784, 10) draw block OOMs a 16 GB chip without
+    it); block_size=0 forces the single all-at-once batch.
     """
     samples = jnp.asarray(samples)
     scalar_input = samples.ndim == 2
@@ -45,6 +48,15 @@ def effective_sample_size(samples, block_size: int = 0) -> jnp.ndarray:
     chains, draws = samples.shape[0], samples.shape[1]
     param_shape = samples.shape[2:]
     x = samples.reshape(chains, draws, -1).transpose(2, 0, 1)  # (P, C, N)
+
+    if block_size is None:
+        m = 1
+        while m < 2 * draws:
+            m *= 2
+        # ~3 live (block, C, m) complex64 temporaries through rfft/irfft
+        per_param_bytes = chains * m * 8 * 3
+        fit = max(int((1 << 28) // max(per_param_bytes, 1)), 1)
+        block_size = 0 if fit >= x.shape[0] else fit
 
     if block_size and x.shape[0] > block_size:
         P = x.shape[0]
