@@ -62,7 +62,12 @@ NUM_CHAINS = 128             # folds to 1280 MXU lanes = 10 perfect tiles
 NUM_WARMUP = 300
 NUM_SAMPLES = 1000
 # fixed trajectory length; BENCH_L overrides, BENCH_CHEES=1 instead tunes it
-# with the cross-chain ChEES criterion (inference/chees.py) during warmup
+# with the cross-chain ChEES criterion (inference/chees.py) during warmup.
+# Measured on the v5e chip (128 chains x 1000 draws, median ESS/s): L=7 (the
+# ChEES/ESJD optimum, eps 0.16, T 2.13) 3460; L=12: 3779; L=16: 3364.  The
+# kernel is compute-bound (~63k grad evals/s at every L), so ESS *per grad
+# eval* decides, and the whitened posterior's slight non-Gaussianity rewards
+# trajectories past the ESJD optimum: L=12 stays the default.
 NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "12"))
 USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
 TARGET_ACCEPT = 0.65         # d^(-1/4) regime: bigger steps beat 0.8 here
