@@ -94,7 +94,7 @@ class ChEESResult(NamedTuple):
     step_size: jnp.ndarray         # adapted shared step size (scalar)
     trajectory_length: jnp.ndarray # adapted max trajectory time T (scalar)
     num_integration_steps: jnp.ndarray  # suggested fixed L = round(T/(2 eps))
-    info: Any                      # per-step (accept_mean, step_size, T)
+    info: Any                      # per-step (accept_mean, step_size, T, n_steps)
 
 
 def run_chees_warmup(
@@ -191,7 +191,7 @@ def run_chees_warmup(
         # 1/2 from d(.)^2/4 is absorbed into the Adam normalizer
         w = accept_prob * jnp.where(is_divergent, 0.0, 1.0)
         g = jnp.sum(w * dchees) / jnp.maximum(jnp.sum(w), 1e-6)
-        g_logT = g * h                                           # chain rule
+        g_logT = g * t_jit                                       # chain rule
         g_logT = jnp.where(jnp.isfinite(g_logT), g_logT, 0.0)
 
         adam, step = _adam_update(adam, g_logT, learning_rate)
@@ -219,6 +219,11 @@ def run_chees_warmup(
     )
     step_size = jnp.exp(da.log_step_avg)
     T = jnp.exp(log_T)
-    # fixed-L sampling suggestion: the jittered scheme realizes E[t] = T/2
-    n_sugg = jnp.maximum(jnp.round(0.5 * T / step_size), 1.0).astype(jnp.int32)
+    # fixed-L sampling suggestion: the jittered scheme realizes E[t] = T/2.
+    # Clamped to max_leapfrog_steps: T is clipped against the instantaneous
+    # eps during warmup, but the returned step size is the dual-averaged one,
+    # which can be smaller — without the clamp 0.5*T/eps_avg could exceed the
+    # cap the caller asked for.
+    n_sugg = jnp.clip(jnp.round(0.5 * T / step_size), 1.0,
+                      float(max_leapfrog_steps)).astype(jnp.int32)
     return ChEESResult(state, step_size, T, n_sugg, info)

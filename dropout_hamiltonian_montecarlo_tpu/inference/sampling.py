@@ -144,10 +144,12 @@ def sample_posterior_streaming(
     fold_in(sample_key, chunk_index), so an interrupted+resumed run appends
     exactly the draws the uninterrupted run would have (tested in
     tests/test_io.py).  The reference had no resume path at all — 'nothing
-    ever reads the files back' (SURVEY.md §5).  Caveat: the chunk append and
-    the checkpoint write are two operations; a crash BETWEEN them duplicates
-    one chunk in the backend on resume (checkpoints are draw-counted, so the
-    overlap is detectable from ``step`` vs the backend length).
+    ever reads the files back' (SURVEY.md §5).  The chunk append and the
+    checkpoint write are two operations; a crash BETWEEN them leaves the
+    backend one chunk ahead of the checkpoint's draw counter — on resume the
+    backend is TRUNCATED back to the counter (backends expose
+    truncate/num_draws; io/backend.py), so the resumed file always equals
+    the uninterrupted run's (tested in tests/test_io.py).
     """
     warm_key, sample_key = jax.random.split(key)
     appended = 0
@@ -170,6 +172,11 @@ def sample_posterior_streaming(
             step_sizes = extras["step_size"]
             inv_mass = extras["inv_mass"]
             resumed = True
+            # crash-between-append-and-checkpoint recovery: drop any draws
+            # past the checkpoint's counter so the resumed chunk sequence
+            # (fold_in(sample_key, i)) lines up with the file contents
+            if hasattr(backend, "truncate"):
+                backend.truncate(appended)
 
     if not resumed:
         @jax.jit

@@ -56,6 +56,25 @@ class HDF5Backend:
     def read(self) -> Dict[str, np.ndarray]:
         return {k: np.asarray(self._f[k]) for k in _walk(self._f)}
 
+    def num_draws(self) -> int:
+        """Length of the leading (draws) axis; 0 for an empty file."""
+        names = list(_walk(self._f))
+        return int(self._f[names[0]].shape[0]) if names else 0
+
+    def truncate(self, n: int) -> None:
+        """Shrink every dataset to n draws on axis 0 (no-op if already <= n).
+
+        Crash-recovery hook for the streaming sampler: the chunk append and
+        the checkpoint write are two operations, so a crash between them
+        leaves the backend one chunk AHEAD of the checkpoint's draw counter —
+        resume truncates back to the counter before appending
+        (inference/sampling.sample_posterior_streaming)."""
+        for name in _walk(self._f):
+            ds = self._f[name]
+            if ds.shape[0] > n:
+                ds.resize(n, axis=0)
+        self._f.flush()
+
     def close(self) -> None:
         self._f.close()
 
