@@ -222,3 +222,88 @@ def sample_posterior_streaming(
                 checkpoint_path, states, key=sample_key, step=appended,
                 extras={"step_size": step_sizes, "inv_mass": inv_mass})
     return states, step_sizes, inv_mass, appended
+
+
+def sample_batched_streaming(
+    kernel: Callable,        # chain-BATCHED: (keys (C,), state, (C,) eps, im)
+    states,                  # chain-batched state (leaves (C, ...))
+    step_sizes: jnp.ndarray,
+    inv_mass: Params,
+    key: jax.Array,
+    backend,
+    num_samples: int,
+    chunk_size: int = 100,
+    transform: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
+):
+    """Chunked streaming driver for the chain-BATCHED kernels
+    (hmc.build_batched_kernel / nuts_batched.build_batched_kernel): one jit'd
+    scan of ``chunk_size`` draws per device program, draws spooled to the
+    backend per chunk.  Short device programs are mandatory on the tunneled
+    TPU — the monolithic 128-chain MNIST-scale program faults the chip
+    (RESULTS.md config 3 note).
+
+    ``transform``: optional map applied ON DEVICE to the chunk's stacked
+    positions (leaves (C, chunk, ...)) before the device->host transfer —
+    e.g. unwhitening Kronecker-metric draws back to parameter space.
+
+    PRNG: per-(draw, chain) keys derived as split(fold_in(key, chunk), n)
+    — draws are identical for any chunk_size partition of the same total.
+    Checkpoint/resume semantics match sample_posterior_streaming (backend
+    truncated to the checkpoint counter on resume).  Returns (final_states,
+    num_appended, info_summaries) — info_summaries is a list (one entry per
+    chunk run) of the kernel info pytree averaged over (chunk, chains):
+    cheap scalar diagnostics (acceptance, tree depth, divergences) without
+    spooling the full info arrays.
+    """
+    num_chains = step_sizes.shape[0]
+    appended = 0
+
+    if resume and checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            from ..io.checkpoint import load_checkpoint
+
+            states, key, appended, _ = load_checkpoint(
+                checkpoint_path, states)
+            if hasattr(backend, "truncate"):
+                backend.truncate(appended)
+
+    @jax.jit
+    def run_chunk(states, chunk_key):
+        draw_keys = jax.vmap(
+            lambda k: jax.random.split(k, num_chains)
+        )(jax.random.split(chunk_key, chunk_size))      # (chunk, C) keys
+
+        def body(s, ks):
+            ns, info = kernel(ks, s, step_sizes, inv_mass)
+            return ns, (ns.position, info)
+
+        final, (pos, infos) = jax.lax.scan(body, states, draw_keys)
+        info_mean = jax.tree_util.tree_map(
+            lambda x: jnp.mean(jnp.asarray(x, jnp.float32)), infos)
+        # (chunk, C, ...) -> (C, chunk, ...) for the transform, then draws
+        # leading for the backend append
+        pos = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), pos)
+        if transform is not None:
+            pos = transform(pos)
+        return final, jax.tree_util.tree_map(
+            lambda x: jnp.swapaxes(x, 0, 1), pos), info_mean
+
+    info_summaries = []
+    n_chunks = -(-num_samples // chunk_size)
+    for i in range(appended // chunk_size, n_chunks):
+        states, block, info_mean = run_chunk(
+            states, jax.random.fold_in(key, i))
+        take = min(chunk_size, num_samples - appended)
+        block = jax.tree_util.tree_map(lambda x: x[:take], block)
+        backend.append(block)
+        info_summaries.append(jax.tree_util.tree_map(float, info_mean))
+        appended += take
+        if checkpoint_path is not None:
+            from ..io.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, states, key=key, step=appended)
+    return states, appended, info_summaries

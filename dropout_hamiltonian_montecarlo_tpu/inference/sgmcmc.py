@@ -81,8 +81,28 @@ def sgld_init(position: Params) -> SGLDState:
     return SGLDState(position, jnp.float32(0.0))
 
 
-def build_sgld_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
-                      temperature: float = 1.0, keyed: bool = False):
+def _make_vag(logdensity_fn, keyed, value_and_grad_fn):
+    """Unify the kernels' gradient source: (params, batch, key|None) ->
+    (value, grad).  Default = jax.value_and_grad of ``logdensity_fn``;
+    ``value_and_grad_fn`` overrides it — the hook the data-parallel path
+    uses (parallel/data.make_sharded_value_and_grad psums value and grad
+    over the 'data' mesh axis; grad-of-psum is NOT valid under
+    check_vma=False, so the override must carry the collective itself)."""
+    if value_and_grad_fn is not None:
+        return value_and_grad_fn
+    if keyed:
+        def vag(q, b, k):
+            return jax.value_and_grad(
+                lambda qq: logdensity_fn(qq, b, k))(q)
+    else:
+        def vag(q, b, k):
+            return jax.value_and_grad(lambda qq: logdensity_fn(qq, b))(q)
+    return vag
+
+
+def build_sgld_kernel(logdensity_fn: Callable = None,
+                      temperature: float = 1.0, keyed: bool = False,
+                      value_and_grad_fn: Callable = None):
     """Returns step(key, state, batch, step_size) -> (state, info).
 
     theta <- theta + (eps/2) grad log p_hat(theta) + N(0, eps * T)
@@ -94,15 +114,18 @@ def build_sgld_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
     mask key is split from the step key, so masks are deterministic per
     (chain, step) and identical between the value and grad of one step —
     the dropout-inside-MCMC capability the repo is named for (reference only
-    combined dropout with SGD: cpu/sgd.py:59-66 + gpu/mlp.py:19-31)."""
+    combined dropout with SGD: cpu/sgd.py:59-66 + gpu/mlp.py:19-31).
+
+    value_and_grad_fn: optional (params, batch, key|None) -> (value, grad)
+    override — the data-parallel composition point (see _make_vag)."""
+    vag = _make_vag(logdensity_fn, keyed, value_and_grad_fn)
 
     def step(key, state: SGLDState, batch: Batch, step_size):
         if keyed:
             key, k_mask = jax.random.split(key)
-            ld = lambda q, b: logdensity_fn(q, b, k_mask)
         else:
-            ld = logdensity_fn
-        value, grad = jax.value_and_grad(ld)(state.position, batch)
+            k_mask = None
+        value, grad = vag(state.position, batch, k_mask)
         noise = tree_randn_like(key, state.position)
         sigma = jnp.sqrt(step_size * temperature)
         position = jax.tree_util.tree_map(
@@ -132,10 +155,11 @@ def sghmc_init(position: Params) -> SGHMCState:
     return SGHMCState(position, tree_zeros_like(position), jnp.float32(0.0))
 
 
-def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
+def build_sghmc_kernel(logdensity_fn: Callable = None,
                        friction: float = 1.0, temperature: float = 1.0,
                        num_leapfrog: int = 1, refresh_momentum: bool = False,
-                       keyed: bool = False):
+                       keyed: bool = False,
+                       value_and_grad_fn: Callable = None):
     """Returns step(key, state, batch, step_size) -> (state, info).
 
     Per inner step (v is momentum with unit mass):
@@ -153,7 +177,11 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
     keyed=True: ``logdensity_fn`` takes (params, batch, key); a distinct mask
     key per leapfrog step keeps masks deterministic per (chain, step) — see
     build_sgld_kernel.
+
+    value_and_grad_fn: optional (params, batch, key|None) -> (value, grad)
+    override — the data-parallel composition point (see _make_vag).
     """
+    vag = _make_vag(logdensity_fn, keyed, value_and_grad_fn)
 
     def step(key, state: SGHMCState, batch: Batch, step_size):
         k_mom, k_noise = jax.random.split(key)
@@ -167,10 +195,9 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
             q, v = carry
             if keyed:
                 k, k_mask = jax.random.split(k)
-                ld = lambda qq, b: logdensity_fn(qq, b, k_mask)
             else:
-                ld = logdensity_fn
-            _, grad = jax.value_and_grad(ld)(q, batch)
+                k_mask = None
+            _, grad = vag(q, batch, k_mask)
             eps_noise = tree_randn_like(k, q)
             v = jax.tree_util.tree_map(
                 lambda vi, gi, ei: (1.0 - friction * step_size) * vi
@@ -184,10 +211,8 @@ def build_sghmc_kernel(logdensity_fn: Callable[[Params, Batch], jnp.ndarray],
         (position, momentum), _ = jax.lax.scan(
             inner, (state.position, momentum), keys
         )
-        if keyed:
-            value = logdensity_fn(position, batch, jax.random.fold_in(k_mom, 1))
-        else:
-            value = logdensity_fn(position, batch)
+        k_final = jax.random.fold_in(k_mom, 1) if keyed else None
+        value, _ = vag(position, batch, k_final)
         return (
             SGHMCState(position, momentum, value),
             SGMCMCInfo(value, jnp.asarray(step_size)),

@@ -11,8 +11,16 @@ with cross-host resampling"); no reference counterpart.  Design:
 - temperature ladder lambda: 0 -> 1, adapted so the effective sample size of
   the incremental weights stays at target_ess * N (bisection inside jit);
 - mutation: any (key, state, step_size, inv_mass) kernel (HMC/NUTS/MH) vmapped
-  over particles at the current tempered density;
+  over particles at the current tempered density, or minibatch SGHMC on the
+  tempered potential (mutation="sghmc" — BASELINE config 5's "multi-host
+  SGHMC + tempered SMC" wording);
 - resampling: systematic (low-variance) via a single sorted-uniform gather.
+
+Sharded-particle execution is exercised, not just claimed: the particle axis
+under a NamedSharding runs the identical global-array program with the
+weight logsumexp / cumsum / resampling gather lowered to collectives —
+asserted against the unsharded run in tests/test_smc.py and staged in
+__graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -99,9 +107,9 @@ def run_tempered_smc(
     initial_particles: Params,
     log_prior_fn: Callable[[Params], jnp.ndarray],
     log_likelihood_fn: Callable[[Params], jnp.ndarray],
-    kernel_builder: Callable[[Callable], Callable],
+    kernel_builder: Callable[[Callable], Callable] = None,
     # kernel_builder(logdensity_fn) -> (key, state, step_size, inv_mass) step
-    init_builder: Callable[[Callable], Callable],
+    init_builder: Callable[[Callable], Callable] = None,
     # init_builder(logdensity_fn) -> (position) -> state
     step_size: float = 0.1,
     num_mcmc_steps: int = 5,
@@ -109,6 +117,11 @@ def run_tempered_smc(
     max_stages: int = 100,
     adapt_step_size: bool = True,
     target_mutation_accept: float = 0.7,
+    mutation: str = "hmc",
+    log_likelihood_batch_fn: Callable = None,
+    data: Optional[Tuple[jnp.ndarray, ...]] = None,
+    batch_size: Optional[int] = None,
+    sghmc_friction: float = 1.0,
 ) -> Tuple[SMCState, SMCInfo]:
     """Run adaptive tempered SMC from the prior sample to the posterior.
 
@@ -124,12 +137,30 @@ def run_tempered_smc(
     per-stage trace (lambda, incremental-weight ESS, acceptance, step size)
     is returned NaN-padded in SMCInfo so drivers can verify every stage held
     acceptance in band, not just the last one.
+
+    mutation="sghmc" (BASELINE config 5: "multi-host SGHMC + tempered SMC"):
+    the mutation operator becomes minibatch SGHMC on the tempered potential
+    log_prior + lambda * (data_size/batch_size) * log_lik_batch — pass
+    ``log_likelihood_batch_fn(params, batch) -> summed log lik``, the
+    ``data`` tuple and ``batch_size``.  One shared minibatch per mutation
+    round serves every particle (the batched-GLM-friendly layout); SGHMC
+    has no MH accept, so stage acceptance is reported NaN and the step size
+    is NOT adapted (pass the step size tuned for the stochastic gradient
+    scale instead).
     """
     state = init(initial_particles)
     n = state.log_weights.shape[0]
     inv_mass = jax.tree_util.tree_map(
         lambda x: jnp.ones_like(x[0]), initial_particles
     )
+    if mutation not in ("hmc", "sghmc"):
+        raise ValueError(f"unknown mutation {mutation!r}")
+    if mutation == "sghmc":
+        if log_likelihood_batch_fn is None or data is None or batch_size is None:
+            raise ValueError("sghmc mutation needs log_likelihood_batch_fn, "
+                             "data and batch_size")
+        data_size = data[0].shape[0]
+        adapt_step_size = False
 
     def mutate(key, particles, lmbda, eps):
         def logdensity(p):
@@ -150,6 +181,33 @@ def run_tempered_smc(
             one_round, states, jax.random.split(key, num_mcmc_steps)
         )
         return states.position, jnp.mean(accs)
+
+    def mutate_sghmc(key, particles, lmbda, eps):
+        from .sgmcmc import build_sghmc_kernel, sghmc_init
+
+        scale = data_size / batch_size
+
+        def ld(p, b):
+            return log_prior_fn(p) + lmbda * scale * log_likelihood_batch_fn(
+                p, b)
+
+        kernel = build_sghmc_kernel(ld, friction=sghmc_friction)
+        states = jax.vmap(sghmc_init)(particles)
+
+        def one_round(states, k):
+            k_batch, k_step = jax.random.split(k)
+            idx = jax.random.randint(k_batch, (batch_size,), 0, data_size)
+            batch = tuple(d[idx] for d in data)
+            ks = jax.random.split(k_step, n)
+            states, _ = jax.vmap(
+                lambda kk, s: kernel(kk, s, batch, eps)
+            )(ks, states)
+            return states, None
+
+        states, _ = jax.lax.scan(
+            one_round, states, jax.random.split(key, num_mcmc_steps)
+        )
+        return states.position, jnp.float32(jnp.nan)
 
     class Carry(NamedTuple):
         state: SMCState
@@ -186,7 +244,8 @@ def run_tempered_smc(
         particles = jax.tree_util.tree_map(lambda x: x[idx], st.particles)
 
         # mutate at the new temperature
-        particles, acc = mutate(k_mut, particles, new_lmbda, c.step_size)
+        mutate_fn = mutate_sghmc if mutation == "sghmc" else mutate
+        particles, acc = mutate_fn(k_mut, particles, new_lmbda, c.step_size)
 
         # retune the step size for the NEXT stage from this stage's accept
         if adapt_step_size:

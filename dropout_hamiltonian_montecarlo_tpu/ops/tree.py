@@ -102,6 +102,32 @@ def tree_where_bcast(pred, a, b):
     )
 
 
+def tree_batch_ravel(a):
+    """Chain-batched pytree (leaves (C, ...)) -> ((C, D) matrix, unravel).
+
+    The batched analogue of jax.flatten_util.ravel_pytree: one reshape +
+    concat per leaf, no per-chain vmap (XLA lowers it to a single layout
+    copy).  ``unravel`` maps any (C', D) matrix back to the pytree structure
+    with leading axis C'."""
+    import math
+
+    leaves, treedef = jax.tree_util.tree_flatten(a)
+    shapes = [leaf.shape[1:] for leaf in leaves]
+    sizes = [math.prod(s) for s in shapes]
+    mat = jnp.concatenate(
+        [leaf.reshape(leaf.shape[0], -1) for leaf in leaves], axis=1
+    )
+
+    def unravel(z):
+        out, off = [], 0
+        for s, sz in zip(shapes, sizes):
+            out.append(z[:, off:off + sz].reshape((z.shape[0],) + s))
+            off += sz
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return mat, unravel
+
+
 def tree_batched_dot(a, b):
     """Per-chain inner product over (C, ...) leaves -> (C,) vector."""
     leaves = jax.tree_util.tree_map(

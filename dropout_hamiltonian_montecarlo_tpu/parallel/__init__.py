@@ -12,6 +12,7 @@ from .mesh import (make_mesh, make_multihost_mesh, init_distributed,
 from .chains import sample_batched_sharded, sample_posterior_sharded
 from .data import (shard_data, make_sharded_logdensity,
                    make_sharded_value_and_grad)
+from .sgmcmc import run_sgmcmc_data_parallel
 
 __all__ = [
     "make_mesh",
@@ -23,4 +24,5 @@ __all__ = [
     "shard_data",
     "make_sharded_logdensity",
     "make_sharded_value_and_grad",
+    "run_sgmcmc_data_parallel",
 ]
