@@ -84,10 +84,8 @@ def main():
         effective_sample_size,
     )
     from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
-        gram_eigh_augmented,
+        cached_gn_setup,
         make_whitened_gauge_gibbs,
-        natural_gradient_map,
-        softmax_gauss_newton_metric,
     )
     from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
 
@@ -100,38 +98,21 @@ def main():
     model = Softmax(dim=784, n_classes=10, alpha=ALPHA)
     log(f"data: {X.shape}; params={784 * 10 + 10} chains={NUM_CHAINS}")
 
-    # --- metric stage 1: uniform-Fisher Kronecker metric -> Newton MAP ---
-    t0 = time.time()
-    gram = gram_eigh_augmented(X)
-    metric0 = softmax_gauss_newton_metric(X, 10, alpha=ALPHA, gram=gram,
-                                          augmented=True)
-    log(f"Gram eigh: {time.time() - t0:.1f}s")
-
     logdensity = model.make_logdensity(batch=(X, y))
-    t0 = time.time()
 
-    @jax.jit
-    def map_stage1(key):
-        q0 = model.init_params(key)
-        qmap = natural_gradient_map(logdensity, metric0, q0, num_steps=60)
-        return qmap, model.predict(qmap, X, prob=True)
-
-    qmap, probs = map_stage1(jax.random.key(0))
-    jax.block_until_ready(qmap)
+    # Metric pipeline (uniform-Fisher Kronecker metric -> Newton MAP ->
+    # K-FAC metric at the MAP probs), DISK-CACHED keyed on the dataset
+    # fingerprint: the ~150 s of Gram eigh + Newton MAP amortizes to a
+    # ~seconds npz load across bench reruns (BENCH_SETUP_CACHE=0 disables).
+    cache_dir = (None if os.environ.get("BENCH_SETUP_CACHE", "1") == "0"
+                 else os.path.join(os.path.dirname(__file__), ".data_cache"))
+    metric, metric_aux, qmap, from_cache = cached_gn_setup(
+        X, y, model, alpha=ALPHA, newton_steps=60, cache_dir=cache_dir,
+        provenance=dataset_provenance)
     acc = float((model.predict(qmap, X) == yi).mean())
-    log(f"MAP (uniform-Fisher Newton): {time.time() - t0:.1f}s; "
-        f"train acc {acc:.4f}")
-
-    # Refresh the metric with the empirical Fisher AT the MAP (K-FAC) for
-    # SAMPLING only.  (Running more Newton steps under this metric diverges:
-    # confident probs make the Fisher factor small, so M^-1 overshoots in
-    # directions where K-FAC underestimates the true curvature.)
-    t0 = time.time()
-    metric, metric_aux = softmax_gauss_newton_metric(
-        X, 10, alpha=ALPHA, gram=gram, probs=probs, return_aux=True,
-        augmented=True)
-    log(f"metric refresh @ MAP Fisher: {time.time() - t0:.1f}s")
     t_setup = time.time() - t_setup0
+    log(f"metric setup ({'cache hit' if from_cache else 'computed'}): "
+        f"{t_setup:.1f}s; MAP train acc {acc:.4f}")
 
     # exact Gibbs on the softmax gauge subspace (the likelihood-blind
     # directions that dominate the min-ESS tail): resampled after every HMC
@@ -355,6 +336,7 @@ def main():
             "draws_per_sec": round(stats.draws_per_sec, 1),
             "grad_evals_per_sec": round(stats.grads_per_sec, 1),
             "amortized_setup_seconds": round(t_setup, 1),
+            "setup_from_cache": from_cache,
             "amortized_warmup_seconds": round(t_warm, 1),
             "path": "pallas" if use_pallas else "xla",
             "num_integration_steps": num_steps,

@@ -371,33 +371,24 @@ def cmd_mnist_nuts(args):
         # scale — the posterior conditioning spans ~6 orders of magnitude)
         metric = None
         adapt_mass = True
+        setup_cached = False
         positions = init_chain_positions(model.init_params, key, args.chains)
     else:
         # Kronecker Gauss-Newton metric + Newton MAP + Laplace chain init —
         # the same preconditioning pipeline as the headline bench (bench.py),
         # here driving whitened-space NUTS (adaptive trajectories instead of
-        # the bench's fixed-length HMC).
-        from .ops.kron_metric import (
-            gram_eigh_augmented,
-            natural_gradient_map,
-            softmax_gauss_newton_metric,
-        )
+        # the bench's fixed-length HMC).  The Gram eigh + Newton MAP stage is
+        # disk-cached keyed on the dataset fingerprint (ops/kron_metric.
+        # cached_gn_setup) — reruns pay a ~seconds npz load, not ~150 s.
+        from .ops.kron_metric import cached_gn_setup
 
         t0 = time.time()
-        gram = gram_eigh_augmented(X)
-        metric0 = softmax_gauss_newton_metric(X, 10, alpha=args.alpha,
-                                              gram=gram, augmented=True)
-
-        @jax.jit
-        def map_stage(k):
-            q0 = model.init_params(k)
-            qmap = natural_gradient_map(logdensity, metric0, q0, num_steps=60)
-            return qmap, model.predict(qmap, X, prob=True)
-
-        qmap, probs = map_stage(key)
-        metric = softmax_gauss_newton_metric(X, 10, alpha=args.alpha,
-                                             gram=gram, probs=probs,
-                                             augmented=True)
+        cache_dir = os.path.join(os.path.dirname(__file__), "..",
+                                 ".data_cache")
+        metric, _aux, qmap, setup_cached = cached_gn_setup(
+            X, y, model, alpha=args.alpha, newton_steps=60,
+            cache_dir=os.path.abspath(cache_dir), provenance=provenance,
+            seed=args.seed)
         adapt_mass = False
         positions = jax.vmap(
             lambda k: metric.sample_position(k, qmap)
@@ -439,6 +430,7 @@ def cmd_mnist_nuts(args):
     agg.update({"workload": "mnist-nuts", "train_accuracy": acc,
                 "metric": "diag" if args.diag_mass else "kron-gauss-newton",
                 "setup_s": round(setup_s, 2),
+                "setup_from_cache": setup_cached,
                 "dataset": provenance,
                 "predictive_accuracy": cal["accuracy"],
                 "predictive_ece": round(cal["ece"], 4),
@@ -489,32 +481,91 @@ def cmd_mnist_mlp_sgmcmc(args):
         sgd_s = time.time() - t0
         params0 = sgd_state.position
 
-    if args.algorithm == "sghmc":
-        kernel = sgmcmc.build_sghmc_kernel(logdensity, friction=args.friction,
-                                           keyed=dropout)
-        state = sgmcmc.sghmc_init(params0)
-    else:
-        kernel = sgmcmc.build_sgld_kernel(logdensity, keyed=dropout)
-        state = sgmcmc.sgld_init(params0)
+    # MULTI-CHAIN (reference ran 4 workers, benchmarks/2.-MNIST.ipynb cell 5
+    # ncores=4): chains are a vmapped batch axis with jittered starts around
+    # the SGD mode so split-R-hat/ESS are computable over the MLP draws
+    chains = args.chains
+    from .ops.tree import tree_axpy, tree_randn_like
 
-    t0 = time.time()
-    _, positions, infos = sgmcmc.run_sgmcmc(
-        kernel, state, jax.random.key(args.seed + 1), (X, y),
-        batch_size=args.batch_size, num_steps=args.num_steps,
-        step_size_schedule=sgmcmc.constant_schedule(args.step_size),
-        collect_every=args.collect_every, burnin_steps=args.burnin_steps,
-    )
+    jkeys = jax.random.split(jax.random.key(args.seed + 4), chains)
+    positions0 = jax.vmap(
+        lambda k: tree_axpy(args.chain_jitter,
+                            tree_randn_like(k, params0), params0)
+    )(jkeys)
+
+    if args.data_shards > 1:
+        # BASELINE config 4's "psum across data shards": SGHMC/SGLD under a
+        # (chains, data) mesh via parallel/sgmcmc.run_sgmcmc_data_parallel
+        from .parallel import (
+            make_mesh,
+            make_sharded_value_and_grad,
+            run_sgmcmc_data_parallel,
+        )
+
+        ndev = len(jax.devices())
+        if ndev % args.data_shards != 0:
+            raise SystemExit(f"--data-shards {args.data_shards} does not "
+                             f"divide the {ndev} available devices")
+        mesh = make_mesh(num_chain_shards=ndev // args.data_shards,
+                         num_data_shards=args.data_shards)
+        vag = make_sharded_value_and_grad(model, data_size=X.shape[0],
+                                          keyed=dropout)
+        if args.algorithm == "sghmc":
+            kernel = sgmcmc.build_sghmc_kernel(
+                friction=args.friction, keyed=dropout, value_and_grad_fn=vag)
+            states = jax.vmap(sgmcmc.sghmc_init)(positions0)
+        else:
+            kernel = sgmcmc.build_sgld_kernel(keyed=dropout,
+                                              value_and_grad_fn=vag)
+            states = jax.vmap(sgmcmc.sgld_init)(positions0)
+
+        t0 = time.time()
+        _, positions, infos = run_sgmcmc_data_parallel(
+            kernel, states, jax.random.key(args.seed + 1), (X, y), mesh,
+            num_chains=chains, batch_size=args.batch_size,
+            num_steps=args.num_steps,
+            step_size_schedule=sgmcmc.constant_schedule(args.step_size),
+            collect_every=args.collect_every,
+            burnin_steps=args.burnin_steps,
+        )
+    else:
+        if args.algorithm == "sghmc":
+            kernel = sgmcmc.build_sghmc_kernel(
+                logdensity, friction=args.friction, keyed=dropout)
+            states = jax.vmap(sgmcmc.sghmc_init)(positions0)
+        else:
+            kernel = sgmcmc.build_sgld_kernel(logdensity, keyed=dropout)
+            states = jax.vmap(sgmcmc.sgld_init)(positions0)
+
+        t0 = time.time()
+        _, positions, infos = sgmcmc.run_sgmcmc_chains(
+            kernel, states, jax.random.key(args.seed + 1), chains, (X, y),
+            batch_size=args.batch_size, num_steps=args.num_steps,
+            step_size_schedule=sgmcmc.constant_schedule(args.step_size),
+            collect_every=args.collect_every,
+            burnin_steps=args.burnin_steps,
+        )
     jax.block_until_ready(positions)
     elapsed = time.time() - t0
 
-    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=0), positions)
+    # mixing diagnostics over the (chains, draws, ...) MLP draws — the
+    # reference's multicore runs had no diagnostics at all (SURVEY.md §5).
+    # Weight-space R-hat on a deep net is ill-posed by construction (hidden-
+    # unit permutation symmetry: chains sample equivalent but differently-
+    # labeled modes), so the FUNCTION-SPACE trace (minibatch log density) is
+    # reported alongside as the meaningful mixing measure.
+    from .diagnostics import summarize
+    s = summarize(positions)["aggregate"]
+    mix = {k: float(v) for k, v in s.items()}
+    fs = summarize({"logdensity": infos.logdensity})["aggregate"]
+
+    pm = jax.tree_util.tree_map(lambda x: x.mean(axis=(0, 1)), positions)
     acc = float(jnp.mean((model.predict(pm, X) == yi).astype(jnp.float32)))
     # posterior-predictive calibration over the collected SG-MCMC draws
     from .diagnostics import calibration_report, posterior_predictive_probs
     pp = posterior_predictive_probs(
         lambda p, x: model.predict(p, x, prob=True),
-        jax.tree_util.tree_map(lambda a: a[None], positions),  # add chain axis
-        X, max_draws=32)
+        positions, X, max_draws=32)
     cal = calibration_report(pp, yi)
     # MC-dropout predictive (the reference's predict_stochastic half,
     # cpu/softmax.py:91-100): average fresh-mask stochastic forwards at the
@@ -538,13 +589,100 @@ def cmd_mnist_mlp_sgmcmc(args):
         "dataset": datasets.mnist_provenance(args.data),
         "dropout": dropout,
         "p_drop": args.p_drop,
+        "chains": chains,
+        "data_shards": args.data_shards,
         "mc_dropout_accuracy": mc_acc,
         "train_accuracy": acc,
         "predictive_accuracy": cal["accuracy"],
         "predictive_ece": round(cal["ece"], 4),
         "predictive_nll": round(cal["nll"], 4),
+        "min_ess": round(mix["min_ess"], 1),
+        "median_ess": round(mix["median_ess"], 1),
+        "max_rhat": round(mix["max_rhat"], 4),
+        "logdensity_ess": round(float(fs["min_ess"]), 1),
+        "logdensity_rhat": round(float(fs["max_rhat"]), 4),
         "sgd_init_steps": args.sgd_init_steps,
         "sgd_init_s": round(sgd_s, 2),
+        "elapsed_s": round(elapsed, 2),
+        "steps_per_sec": round(chains * args.num_steps / elapsed, 1),
+    }))
+
+
+def cmd_mnist_vi(args):
+    """Mean-field ADVI baseline on the MNIST softmax / dropout-MLP posterior
+    (BASELINE north star: "a mean-field VI baseline") — emits the SAME JSON
+    schema as configs 3/4 (accuracy/ECE/NLL over posterior-predictive draws)
+    so the HMC-vs-VI comparison is direct."""
+    import jax
+    import jax.numpy as jnp
+    from .inference import vi
+    from .io import datasets
+    from .utils import one_hot
+
+    if args.dataset == "digits":
+        X, yi = datasets.digits()
+        provenance = "sklearn-digits"
+    else:
+        X, yi = datasets.mnist(args.data)
+        provenance = datasets.mnist_provenance(args.data)
+    y = one_hot(yi, 10)
+    n = X.shape[0]
+
+    if args.model == "mlp":
+        from .models import DropoutMLP
+
+        model = DropoutMLP(dim=X.shape[1], hidden=args.hidden, n_classes=10,
+                           alpha=args.alpha, p_drop=0.0)
+        logdensity = model.make_batched_logdensity(data_size=n)
+    else:
+        from .models import Softmax
+
+        model = Softmax(dim=X.shape[1], n_classes=10, alpha=args.alpha)
+        logdensity = model.make_batched_logdensity(data_size=n)
+
+    kernel = vi.build_kernel(logdensity, num_mc_samples=args.mc_samples,
+                             learning_rate=args.learning_rate)
+    params0 = model.init_params(jax.random.key(args.seed))
+    state = vi.init(params0)
+
+    @jax.jit
+    def fit(state, key):
+        def body(s, k):
+            kb, ks = jax.random.split(k)
+            idx = jax.random.randint(kb, (args.batch_size,), 0, n)
+            s, loss = kernel(ks, s, (X[idx], y[idx]), None)
+            return s, loss
+
+        return jax.lax.scan(body, state,
+                            jax.random.split(key, args.num_steps))
+
+    t0 = time.time()
+    state, losses = fit(state, jax.random.key(args.seed + 1))
+    jax.block_until_ready(state.mu)
+    elapsed = time.time() - t0
+
+    acc_mu = float(jnp.mean(
+        (model.predict(state.mu, X) == yi).astype(jnp.float32)))
+    draws = vi.sample_from(state, jax.random.key(args.seed + 2),
+                           args.posterior_draws)
+    from .diagnostics import calibration_report, posterior_predictive_probs
+    pp = posterior_predictive_probs(
+        lambda p, x: model.predict(p, x, prob=True),
+        jax.tree_util.tree_map(lambda a: a[None], draws),  # add chain axis
+        X, max_draws=args.posterior_draws)
+    cal = calibration_report(pp, yi)
+    import numpy as np
+    neg_elbo = np.asarray(losses, np.float64)
+    print(json.dumps({
+        "workload": f"mnist-vi-{args.model}",
+        "dataset": provenance,
+        "train_accuracy": acc_mu,
+        "predictive_accuracy": cal["accuracy"],
+        "predictive_ece": round(cal["ece"], 4),
+        "predictive_nll": round(cal["nll"], 4),
+        "elbo_first_last": [round(float(-neg_elbo[:50].mean()), 1),
+                            round(float(-neg_elbo[-50:].mean()), 1)],
+        "num_steps": args.num_steps,
         "elapsed_s": round(elapsed, 2),
         "steps_per_sec": round(args.num_steps / elapsed, 1),
     }))
@@ -573,12 +711,35 @@ def cmd_plantvillage_smc(args):
     particles = jax.vmap(model.init_params)(
         jax.random.split(key, args.particles))
 
-    t0 = time.time()
-    state, info = smc.run_tempered_smc(
-        jax.random.key(args.seed + 1), particles, log_prior, log_lik,
+    if args.shard_particles:
+        # particle axis across all devices: the resampling gather, weight
+        # logsumexp and lambda bisection run as ONE global-array program
+        # with XLA-inserted collectives (tested against the unsharded run in
+        # tests/test_smc.py)
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        mesh = Mesh(_np.array(devs), ("particles",))
+        particles = jax.device_put(particles,
+                                   NamedSharding(mesh, P("particles")))
+
+    smc_kwargs = dict(
         kernel_builder=lambda ld: hmc.build_kernel(ld, args.num_steps),
         init_builder=lambda ld: (lambda p: hmc.init(p, ld)),
         step_size=args.step_size, num_mcmc_steps=args.mcmc_steps,
+    )
+    if args.mutation == "sghmc":
+        smc_kwargs.update(
+            mutation="sghmc",
+            log_likelihood_batch_fn=lambda p, b: model.log_likelihood(p, b),
+            data=(X, y), batch_size=args.batch_size,
+        )
+
+    t0 = time.time()
+    state, info = smc.run_tempered_smc(
+        jax.random.key(args.seed + 1), particles, log_prior, log_lik,
+        **smc_kwargs,
     )
     jax.block_until_ready(state.particles)
     elapsed = time.time() - t0
@@ -598,6 +759,8 @@ def cmd_plantvillage_smc(args):
     ss = ss[~np.isnan(ss)]
     print(json.dumps({
         "workload": "plantvillage-smc",
+        "mutation": args.mutation,
+        "shard_particles": bool(args.shard_particles),
         "dataset": datasets.plantvillage_provenance(args.data),
         "predictive_accuracy": cal["accuracy"],
         "predictive_ece": round(cal["ece"], 4),
@@ -651,6 +814,14 @@ def main(argv=None):
     p = sub.add_parser("mnist-mlp-sgmcmc")
     p.add_argument("--data", type=str, default=None)
     p.add_argument("--algorithm", choices=["sgld", "sghmc"], default="sghmc")
+    p.add_argument("--chains", type=int, default=16,
+                   help="vmapped SG-MCMC chains (jittered starts around the "
+                        "SGD mode; enables ESS/split-R-hat diagnostics)")
+    p.add_argument("--chain-jitter", type=float, default=0.02)
+    p.add_argument("--data-shards", type=int, default=1,
+                   help=">1: run under a (chains, data) mesh with minibatch "
+                        "gradients psum'd across data shards (needs a "
+                        "divisible device count)")
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--p-drop", type=float, default=0.1)
@@ -668,6 +839,20 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_mnist_mlp_sgmcmc)
 
+    p = sub.add_parser("mnist-vi")
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--dataset", choices=["auto", "digits"], default="auto")
+    p.add_argument("--model", choices=["softmax", "mlp"], default="softmax")
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--batch-size", type=int, default=1024)
+    p.add_argument("--num-steps", type=int, default=3000)
+    p.add_argument("--mc-samples", type=int, default=1)
+    p.add_argument("--learning-rate", type=float, default=1e-2)
+    p.add_argument("--posterior-draws", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_mnist_vi)
+
     p = sub.add_parser("plantvillage-smc")
     p.add_argument("--data", type=str, default=None)
     p.add_argument("--n-data", type=int, default=5000)
@@ -676,6 +861,15 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=8)
     p.add_argument("--mcmc-steps", type=int, default=3)
     p.add_argument("--step-size", type=float, default=1e-3)
+    p.add_argument("--mutation", choices=["hmc", "sghmc"], default="hmc",
+                   help="sghmc: minibatch SGHMC mutation on the tempered "
+                        "potential (BASELINE config 5 wording)")
+    p.add_argument("--batch-size", type=int, default=512,
+                   help="minibatch size for --mutation sghmc")
+    p.add_argument("--shard-particles", action="store_true",
+                   help="lay the particle axis across all available devices "
+                        "(NamedSharding); resampling/weight reductions lower "
+                        "to collectives")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_plantvillage_smc)
 

@@ -43,23 +43,45 @@ run config1-mvn-hmc mvn-hmc --dim 2 --chains 4 --samples 1000 --warmup 300
 # config 2: Bayesian logistic regression on simulated blobs, 32 chains
 run config2-logistic-hmc logistic-hmc --chains 32 --samples 1000 --warmup 300
 
-# config 3: MNIST softmax, full-batch NUTS (Kron metric), 128 chains.
-# Streaming chunks keep each device program short and the draw buffer
-# bounded: the monolithic warmup+sampling program at this scale faults the
-# tunneled chip (observed UNAVAILABLE device error), the chunked one runs.
-run config3-mnist-nuts mnist-nuts --chains 128 --samples 200 --warmup 100 \
-    --max-depth 6 --save /tmp/config3_samples.h5 --stream-chunk 25
+# config 3: MNIST softmax, full-batch NUTS (Kron metric), 128 chains x 1000
+# draws — the lockstep chain-BATCHED kernel (every leaf = one fused Pallas
+# pass for all chains).  Streaming chunks keep each device program short and
+# the draw buffer bounded: the monolithic warmup+sampling program at this
+# scale faults the tunneled chip (observed UNAVAILABLE device error).
+run config3-mnist-nuts mnist-nuts --chains 128 --samples 1000 --warmup 150 \
+    --max-depth 6 --save /tmp/config3_samples.h5 --stream-chunk 50
 
-# config 4: MNIST dropout MLP, SGHMC minibatch (dropout IN the potential)
-run config4-mlp-sghmc mnist-mlp-sgmcmc --algorithm sghmc
+# config 3b: the same NUTS pipeline on REAL bundled pixels (sklearn digits)
+# — non-synthetic provenance check of metric + sampler
+run config3b-digits-nuts mnist-nuts --dataset digits --chains 64 \
+    --samples 500 --warmup 150 --max-depth 6
+
+# config 4: MNIST dropout MLP, SGHMC minibatch (dropout IN the potential),
+# 16 vmapped chains with jittered starts => ESS/split-R-hat computable
+# (reference ran 4 multiprocessing workers, 2.-MNIST.ipynb cell 5)
+run config4-mlp-sghmc mnist-mlp-sgmcmc --algorithm sghmc --chains 16 \
+    --collect-every 20
 
 # config 4b: same with SGLD.  Step 1e-6, not the SGHMC default 1e-5: SGLD
 # has no friction term damping the n-scaled gradient, and 1e-5 diverges the
 # chain off the SGD mode (observed: posterior-mean train acc 0.10).
-run config4b-mlp-sgld mnist-mlp-sgmcmc --algorithm sgld --step-size 1e-6
+run config4b-mlp-sgld mnist-mlp-sgmcmc --algorithm sgld --step-size 1e-6 \
+    --chains 16 --collect-every 20
 
-# config 5: PlantVillage conv-feature classifier, tempered SMC
-run config5-plantvillage-smc plantvillage-smc --particles 256 --n-data 5000
+# config 5: PlantVillage conv-feature classifier, tempered SMC (HMC
+# mutation) with the particle axis laid out via NamedSharding
+run config5-plantvillage-smc plantvillage-smc --particles 256 --n-data 5000 \
+    --shard-particles
+
+# config 5b: SGHMC mutation (BASELINE config 5's "multi-host SGHMC +
+# tempered SMC" wording) — minibatch SGHMC mutates on the tempered potential
+run config5b-smc-sghmc plantvillage-smc --particles 256 --n-data 5000 \
+    --mutation sghmc --batch-size 512 --step-size 2e-4 --mcmc-steps 5 \
+    --shard-particles
+
+# config 6: mean-field ADVI baseline next to configs 3/4 (same JSON schema)
+run config6-mnist-vi-softmax mnist-vi --model softmax
+run config6b-mnist-vi-mlp mnist-vi --model mlp
 
 echo >> "$OUT"
 echo "Wrote $OUT" >&2

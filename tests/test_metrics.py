@@ -244,3 +244,39 @@ def test_augmented_metric_whitens_positive_feature_softmax():
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(kg["bias"]),
                                np.asarray(kg_ad["bias"]), rtol=1e-3, atol=1e-4)
+
+
+def test_cached_gn_setup_roundtrip(tmp_path):
+    """cached_gn_setup: second call is a cache hit and reproduces the same
+    metric (whitening map) and MAP (VERDICT r3 weak #5 — amortized setup
+    collapses to an npz load)."""
+    import numpy as np
+    from dropout_hamiltonian_montecarlo_tpu.io import datasets
+    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
+    from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
+        cached_gn_setup,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.utils import one_hot
+
+    X, yi = datasets.digits()
+    y = one_hot(yi, 10)
+    model = Softmax(dim=X.shape[1], n_classes=10, alpha=1.0)
+
+    m1, aux1, q1, hit1 = cached_gn_setup(
+        X, y, model, alpha=1.0, newton_steps=20, cache_dir=str(tmp_path),
+        provenance="digits-test")
+    m2, aux2, q2, hit2 = cached_gn_setup(
+        X, y, model, alpha=1.0, newton_steps=20, cache_dir=str(tmp_path),
+        provenance="digits-test")
+    assert not hit1 and hit2
+    np.testing.assert_allclose(np.asarray(q1["weights"]),
+                               np.asarray(q2["weights"]), rtol=1e-6)
+    probe = {"weights": jnp.ones((X.shape[1], 10)), "bias": jnp.ones((10,))}
+    w1, w2 = m1.whiten(probe), m2.whiten(probe)
+    np.testing.assert_allclose(np.asarray(w1["weights"]),
+                               np.asarray(w2["weights"]), rtol=1e-5)
+    # a different alpha keys a different cache entry
+    _, _, _, hit3 = cached_gn_setup(
+        X, y, model, alpha=2.0, newton_steps=20, cache_dir=str(tmp_path),
+        provenance="digits-test")
+    assert not hit3
