@@ -286,7 +286,7 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, logdensity, key):
             kernel, st, jax.random.fold_in(key, 1), args.warmup,
             initial_step_size=jnp.full((chains,), args.step_size,
                                        jnp.float32),
-            target_acceptance=0.8, adapt_mass=False)
+            target_acceptance=args.target_accept, adapt_mass=False)
 
     t0 = time.time()
     warmres = warm(key)
@@ -804,6 +804,11 @@ def main(argv=None):
     p.add_argument("--diag-mass", action="store_true",
                    help="disable the Kronecker Gauss-Newton metric (plain "
                         "diagonal-mass NUTS; will not mix at MNIST scale)")
+    p.add_argument("--target-accept", type=float, default=0.65,
+                   help="warmup acceptance target for the batched-NUTS path "
+                        "(0.65 = the d^(-1/4) large-step regime the bench "
+                        "uses; larger targets shrink eps and roughly double "
+                        "tree size per 0.15)")
     p.add_argument("--per-chain-nuts", action="store_true",
                    help="use the per-chain NUTS kernel under vmap instead "
                         "of the default lockstep chain-batched kernel "

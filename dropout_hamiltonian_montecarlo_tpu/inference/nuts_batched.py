@@ -250,12 +250,18 @@ def build_batched_kernel(
                 idx_min = idx_max - num_trailing + 1
                 is_even = (i % 2) == 0
 
+                # single-slot dynamic_update with a mask folding in the
+                # even/odd store condition: only the (C, D) slot is
+                # touched; odd leaves write back the slot's own values.
+                # (A lax.cond around the store breaks XLA's while-loop
+                # buffer aliasing — the (C, depth+1, D) checkpoint buffers
+                # get copied through the cond boundary: measured 16.3 vs
+                # 9.7 ms/leaf at MNIST bench shapes.)
+                storec = jnp.logical_and(is_even, mask)[..., None]
                 r_ck = c.r_ckpts.at[:, idx_max].set(
-                    jnp.where(maskc, r, c.r_ckpts[:, idx_max]))
+                    jnp.where(storec, r, c.r_ckpts[:, idx_max]))
                 rs_ck = c.rsum_ckpts.at[:, idx_max].set(
-                    jnp.where(maskc, r_sum, c.rsum_ckpts[:, idx_max]))
-                r_ck = jnp.where(is_even, r_ck, c.r_ckpts)
-                rs_ck = jnp.where(is_even, rs_ck, c.rsum_ckpts)
+                    jnp.where(storec, r_sum, c.rsum_ckpts[:, idx_max]))
 
                 def check_turning(_):
                     # scan the shared checkpoint range, OR over chains
