@@ -58,9 +58,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-NUM_CHAINS = 128             # folds to 1280 MXU lanes = 10 perfect tiles
-NUM_WARMUP = 300
-NUM_SAMPLES = 1000
+NUM_CHAINS = int(os.environ.get("BENCH_CHAINS", "128"))  # 1280 MXU lanes
+NUM_WARMUP = int(os.environ.get("BENCH_WARMUP", "300"))
+NUM_SAMPLES = int(os.environ.get("BENCH_DRAWS", "1000"))
+# BENCH_DATASET=digits: real bundled sklearn 8x8 pixels (1797 x 64) instead
+# of MNIST — the non-synthetic provenance check of the whole bench pipeline
+BENCH_DATASET = os.environ.get("BENCH_DATASET", "mnist")
 # fixed trajectory length; BENCH_L overrides, BENCH_CHEES=1 instead tunes it
 # with the cross-chain ChEES criterion (inference/chees.py) during warmup.
 # Measured on the v5e chip (128 chains x 1000 draws, median ESS/s): L=7 (the
@@ -90,13 +93,18 @@ def main():
     from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
 
     t_setup0 = time.time()
-    dataset_provenance = datasets.mnist_provenance()
-    X, yi = datasets.mnist()
+    if BENCH_DATASET == "digits":
+        dataset_provenance = "sklearn-digits"
+        X, yi = datasets.digits()
+    else:
+        dataset_provenance = datasets.mnist_provenance()
+        X, yi = datasets.mnist()
     y = (yi[:, None] == jnp.arange(10)).astype(jnp.float32)
     X, y = jax.device_put(X), jax.device_put(y)
     jax.block_until_ready((X, y))
-    model = Softmax(dim=784, n_classes=10, alpha=ALPHA)
-    log(f"data: {X.shape}; params={784 * 10 + 10} chains={NUM_CHAINS}")
+    d = int(X.shape[1])
+    model = Softmax(dim=d, n_classes=10, alpha=ALPHA)
+    log(f"data: {X.shape}; params={d * 10 + 10} chains={NUM_CHAINS}")
 
     logdensity = model.make_logdensity(batch=(X, y))
 
@@ -128,7 +136,7 @@ def main():
     log(f"compute path: {'pallas fused batched' if use_pallas else 'xla vmapped'}")
 
     e_example = {
-        "weights": jnp.zeros((784, 10), jnp.float32),
+        "weights": jnp.zeros((d, 10), jnp.float32),
         "bias": jnp.zeros((10,), jnp.float32),
     }
 
@@ -166,7 +174,7 @@ def main():
         # Laplace init is exactly e ~ N(0, I) in whitened coordinates
         ks = jax.random.split(key, 2)
         return {
-            "weights": jax.random.normal(ks[0], (NUM_CHAINS, 784, 10),
+            "weights": jax.random.normal(ks[0], (NUM_CHAINS, d, 10),
                                          jnp.float32),
             "bias": jax.random.normal(ks[1], (NUM_CHAINS, 10), jnp.float32),
         }
