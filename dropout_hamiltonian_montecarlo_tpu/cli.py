@@ -643,7 +643,10 @@ def cmd_mnist_vi(args):
     kernel = vi.build_kernel(logdensity, num_mc_samples=args.mc_samples,
                              learning_rate=args.learning_rate)
     params0 = model.init_params(jax.random.key(args.seed))
-    state = vi.init(params0)
+    # init_log_std: for deep nets start q nearly deterministic (e.g. -6) —
+    # the default 0.05 posterior noise through a 256-wide net swamps the
+    # likelihood gradient and ADVI collapses the means to the prior mode
+    state = vi.init(params0, initial_log_std=args.init_log_std)
 
     @jax.jit
     def fit(state, key):
@@ -855,6 +858,10 @@ def main(argv=None):
     p.add_argument("--mc-samples", type=int, default=1)
     p.add_argument("--learning-rate", type=float, default=1e-2)
     p.add_argument("--posterior-draws", type=int, default=32)
+    p.add_argument("--init-log-std", type=float, default=-3.0,
+                   help="initial log std of q (use ~-6 for the MLP: large "
+                        "initial posterior noise collapses ADVI on deep "
+                        "nets)")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_mnist_vi)
 

@@ -73,15 +73,28 @@ run config4b-mlp-sgld mnist-mlp-sgmcmc --algorithm sgld --step-size 1e-6 \
 run config5-plantvillage-smc plantvillage-smc --particles 256 --n-data 5000 \
     --shard-particles
 
+# config 4c: 32 chains — vmapped chains are near-free until compute-bound
+run config4c-mlp-sghmc-32 mnist-mlp-sgmcmc --algorithm sghmc --chains 32 \
+    --collect-every 20
+
 # config 5b: SGHMC mutation (BASELINE config 5's "multi-host SGHMC +
-# tempered SMC" wording) — minibatch SGHMC mutates on the tempered potential
+# tempered SMC" wording) — minibatch SGHMC mutates on the tempered
+# potential.  SGHMC has no MH accept so the mutation needs enough stochastic
+# steps per stage (40 x 1e-3) to actually move particles; too few/small
+# steps leave particles prior-like, the incremental-weight ESS then allows
+# huge lambda jumps, and the run "finishes" in a handful of stages at
+# chance accuracy (observed with 5 x 2e-4).
 run config5b-smc-sghmc plantvillage-smc --particles 256 --n-data 5000 \
-    --mutation sghmc --batch-size 512 --step-size 2e-4 --mcmc-steps 5 \
+    --mutation sghmc --batch-size 1024 --step-size 1e-3 --mcmc-steps 40 \
     --shard-particles
 
-# config 6: mean-field ADVI baseline next to configs 3/4 (same JSON schema)
+# config 6: mean-field ADVI baseline next to configs 3/4 (same JSON schema).
+# MLP: near-deterministic q init (--init-log-std -6) — the default 0.05
+# weight noise through the 256-wide net swamps the likelihood gradient and
+# ADVI collapses to the prior mode (observed: accuracy 0.10).
 run config6-mnist-vi-softmax mnist-vi --model softmax
-run config6b-mnist-vi-mlp mnist-vi --model mlp
+run config6b-mnist-vi-mlp mnist-vi --model mlp --init-log-std -6 \
+    --learning-rate 3e-3 --num-steps 4000
 
 echo >> "$OUT"
 echo "Wrote $OUT" >&2
