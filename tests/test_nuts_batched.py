@@ -49,9 +49,10 @@ def test_batched_nuts_info_shapes_and_invariants():
     acc = np.asarray(info.acceptance_prob)
     assert ((acc >= 0.0) & (acc <= 1.0)).all()
     # cached logdensity matches a fresh evaluation at the new position
+    # (rtol covers TPU matmul rounding; exact on the CPU backend)
     v, _ = vag(new_state.position)
     np.testing.assert_allclose(np.asarray(v),
-                               np.asarray(new_state.logdensity), rtol=1e-5)
+                               np.asarray(new_state.logdensity), rtol=1e-4)
 
     # per-chain key array gives the same signature interface
     keys = jax.random.split(jax.random.key(2), chains)
