@@ -76,6 +76,12 @@ BENCH_DATASET = os.environ.get("BENCH_DATASET", "mnist")
 # the gap to L=12 is the non-Gaussian tail, not an adaptation bug.)
 NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "12"))
 USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
+# BENCH_SAMPLER=nuts: the lockstep chain-batched NUTS kernel instead of
+# fixed-L HMC — adaptive trajectories on the same fused path + gauge Gibbs.
+# BENCH_NUTS_DEPTH bounds the doubling (4 => <=15-leaf trees, the
+# trajectory-time regime where this posterior's ESS already saturates).
+BENCH_SAMPLER = os.environ.get("BENCH_SAMPLER", "hmc")
+NUTS_DEPTH = int(os.environ.get("BENCH_NUTS_DEPTH", "4"))
 TARGET_ACCEPT = 0.65         # d^(-1/4) regime: bigger steps beat 0.8 here
 ALPHA = 1.0
 
@@ -182,7 +188,8 @@ def main():
             "bias": jax.random.normal(ks[1], (NUM_CHAINS, 10), jnp.float32),
         }
 
-    if USE_CHEES:
+    use_chees = USE_CHEES and BENCH_SAMPLER != "nuts"  # ChEES tunes HMC's T
+    if use_chees:
         # cross-chain ChEES warmup (inference/chees.py): jointly adapts a
         # SHARED (step size, trajectory length); the sampling kernel then
         # runs at the tuned fixed L instead of the hand-picked BENCH_L
@@ -217,16 +224,29 @@ def main():
     else:
         num_steps = NUM_INTEGRATION_STEPS
 
-    # lazy-value trajectories: L-1 grad-only leapfrog steps + ONE accurate
-    # value+grad at the proposal (the MH accept only needs endpoint energies)
-    kernel_b = hmc.build_batched_kernel(batched_vag, num_steps,
-                                        grad_fn=batched_grad)
+    if BENCH_SAMPLER == "nuts":
+        # adaptive trajectories on the SAME fused path; every tree leaf
+        # needs the accurate value (multinomial weights + divergence), so
+        # there is no lazy grad-only variant here
+        from dropout_hamiltonian_montecarlo_tpu.inference import nuts_batched
 
-    if not USE_CHEES:
+        kernel_b = nuts_batched.build_batched_kernel(
+            batched_vag, max_tree_depth=NUTS_DEPTH)
+        num_steps = 2 ** NUTS_DEPTH - 1   # grad-eval accounting upper bound
+        batched_init_fn = nuts_batched.batched_init
+    else:
+        # lazy-value trajectories: L-1 grad-only leapfrog steps + ONE
+        # accurate value+grad at the proposal (the MH accept only needs
+        # endpoint energies)
+        kernel_b = hmc.build_batched_kernel(batched_vag, num_steps,
+                                            grad_fn=batched_grad)
+        batched_init_fn = hmc.batched_init
+
+    if not use_chees:
         @jax.jit
         def warm(key):
             E0 = laplace_init(jax.random.fold_in(key, 0))
-            state = hmc.batched_init(E0, batched_vag)
+            state = batched_init_fn(E0, batched_vag)
             # per-chain dual averaging on the SAME batched kernel: one
             # compiled scan, one dataset pass per leapfrog step for all
             # chains.  adapt_mass=False: the Kronecker metric already
@@ -253,7 +273,7 @@ def main():
 
     @jax.jit
     def sample(states, step_sizes, inv_mass, key):
-        st = hmc.batched_init(states.position, batched_vag)
+        st = batched_init_fn(states.position, batched_vag)
         keys = jax.random.split(key, NUM_SAMPLES)
 
         def body(s, k):
@@ -303,8 +323,12 @@ def main():
         e_draws, infos = sample(warm_state, warm_step_size,
                                 warm_inv_mass, jax.random.key(3))
         jax.block_until_ready(e_draws["bias"])
+    # grad-eval accounting from the kernels' own reports (exact for NUTS's
+    # adaptive trees; constant L for HMC)
+    mean_evals = float(np.asarray(infos.num_integration_steps,
+                                  np.float64).mean())
     stats.stop(draws=NUM_CHAINS * NUM_SAMPLES,
-               grad_evals=NUM_CHAINS * NUM_SAMPLES * num_steps)
+               grad_evals=int(NUM_CHAINS * NUM_SAMPLES * mean_evals))
     t_sample = stats.seconds
     ess = np.asarray(ess_of(e_draws))
 
@@ -350,8 +374,9 @@ def main():
             "setup_from_cache": from_cache,
             "amortized_warmup_seconds": round(t_warm, 1),
             "path": "pallas" if use_pallas else "xla",
-            "num_integration_steps": num_steps,
-            "warmup": "chees" if USE_CHEES else "dual-averaging",
+            "sampler": BENCH_SAMPLER,
+            "num_integration_steps": round(mean_evals, 2),
+            "warmup": "chees" if use_chees else "dual-averaging",
             "dataset": dataset_provenance,
         },
     }))
