@@ -137,9 +137,6 @@ def main():
     gauge_gibbs = make_whitened_gauge_gibbs(metric, metric_aux, qmap)
 
     # --- whitened-space HMC: e = M^{1/2}(q - qmap), posterior ~ N(0, I) ---
-    def logdensity_e(e):
-        return logdensity(tree_add(qmap, metric.unwhiten(e)))
-
     use_pallas = (jax.default_backend() == "tpu"
                   and os.environ.get("BENCH_PALLAS", "1") == "1")
     log(f"compute path: {'pallas fused batched' if use_pallas else 'xla vmapped'}")
@@ -149,35 +146,12 @@ def main():
         "bias": jnp.zeros((10,), jnp.float32),
     }
 
-    if use_pallas:
-        from dropout_hamiltonian_montecarlo_tpu.ops.pallas_glm import (
-            split_bf16_input,
-        )
+    from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
+        make_whitened_fused_vag,
+    )
 
-        x_split = split_bf16_input(X)   # once; shared by both kernel variants
-        fused_q = model.make_fused_value_and_grad((X, y), x_split=x_split)
-        fused_g = model.make_fused_value_and_grad((X, y), x_split=x_split,
-                                                  fwd_full=False)
-        # grad of e -> logpost(qmap + unwhiten(e)) chains through the linear
-        # unwhiten map's transpose (exact, XLA-compiled)
-        unwhiten_t = jax.linear_transpose(metric.unwhiten, e_example)
-
-        def _whitened(fused):
-            def f(E):
-                dQ = jax.vmap(metric.unwhiten)(E)
-                Q = jax.tree_util.tree_map(lambda m_, d: m_[None] + d,
-                                           qmap, dQ)
-                val, G = fused(Q)
-                gE = jax.vmap(lambda g: unwhiten_t(g)[0])(G)
-                return val, gE
-            return f
-
-        batched_vag = _whitened(fused_q)
-        batched_grad = _whitened(fused_g)   # 1 fwd pass: grad-only steps
-    else:
-        _vag1 = jax.value_and_grad(logdensity_e)
-        batched_vag = jax.vmap(_vag1)
-        batched_grad = None
+    batched_vag, batched_grad = make_whitened_fused_vag(
+        model, metric, qmap, (X, y), use_pallas=use_pallas)
 
     def laplace_init(key):
         # Laplace init is exactly e ~ N(0, I) in whitened coordinates
@@ -323,12 +297,16 @@ def main():
         e_draws, infos = sample(warm_state, warm_step_size,
                                 warm_inv_mass, jax.random.key(3))
         jax.block_until_ready(e_draws["bias"])
-    # grad-eval accounting from the kernels' own reports (exact for NUTS's
-    # adaptive trees; constant L for HMC)
-    mean_evals = float(np.asarray(infos.num_integration_steps,
-                                  np.float64).mean())
+    # grad-eval accounting from the kernels' own reports.  For NUTS the
+    # lockstep kernel EXECUTES max-over-chains leaves per draw (terminated
+    # chains ride along masked), so the executed-work rate uses the
+    # per-draw max; the retained per-chain mean is reported separately.
+    leaves = np.asarray(infos.num_integration_steps, np.float64)  # (C, T)
+    mean_evals = float(leaves.mean())
+    executed_evals = (float(leaves.max(axis=0).mean())
+                      if leaves.ndim == 2 else mean_evals)
     stats.stop(draws=NUM_CHAINS * NUM_SAMPLES,
-               grad_evals=int(NUM_CHAINS * NUM_SAMPLES * mean_evals))
+               grad_evals=int(NUM_CHAINS * NUM_SAMPLES * executed_evals))
     t_sample = stats.seconds
     ess = np.asarray(ess_of(e_draws))
 
@@ -376,6 +354,7 @@ def main():
             "path": "pallas" if use_pallas else "xla",
             "sampler": BENCH_SAMPLER,
             "num_integration_steps": round(mean_evals, 2),
+            "lockstep_evals_per_draw": round(executed_evals, 2),
             "warmup": "chees" if use_chees else "dual-averaging",
             "dataset": dataset_provenance,
         },

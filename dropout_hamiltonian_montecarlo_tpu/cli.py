@@ -246,52 +246,53 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, logdensity, key):
     from .inference.warmup import run_warmup
     from .ops.tree import tree_add
 
+    import os as _os
+
     d, k = X.shape[1], 10
     chains = args.chains
     e_example = {"weights": jnp.zeros((d, k), jnp.float32),
                  "bias": jnp.zeros((k,), jnp.float32)}
-    unwhiten_t = jax.linear_transpose(metric.unwhiten, e_example)
-    use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        from .ops.pallas_glm import split_bf16_input
+    from .ops.kron_metric import make_whitened_fused_vag
 
-        x_split = split_bf16_input(X)
-        fused_q = model.make_fused_value_and_grad((X, y), x_split=x_split)
-
-        def batched_vag(E):
-            dQ = jax.vmap(metric.unwhiten)(E)
-            Q = jax.tree_util.tree_map(lambda m_, dq: m_[None] + dq,
-                                       qmap, dQ)
-            val, G = fused_q(Q)
-            gE = jax.vmap(lambda g: unwhiten_t(g)[0])(G)
-            return val, gE
-    else:
-        def logdensity_e(e):
-            return logdensity(tree_add(qmap, metric.unwhiten(e)))
-
-        batched_vag = jax.vmap(jax.value_and_grad(logdensity_e))
+    batched_vag, _ = make_whitened_fused_vag(model, metric, qmap, (X, y))
 
     kernel = nuts_batched.build_batched_kernel(
         batched_vag, max_tree_depth=args.max_depth)
 
-    @jax.jit
-    def warm(key):
-        ks = jax.random.split(jax.random.fold_in(key, 0), 2)
+    def laplace_E0(key):
         # Laplace init is exactly e ~ N(0, I) in whitened coordinates
-        E0 = {"weights": jax.random.normal(ks[0], (chains, d, k),
-                                           jnp.float32),
-              "bias": jax.random.normal(ks[1], (chains, k), jnp.float32)}
-        st = nuts_batched.batched_init(E0, batched_vag)
-        return run_warmup(
-            kernel, st, jax.random.fold_in(key, 1), args.warmup,
-            initial_step_size=jnp.full((chains,), args.step_size,
-                                       jnp.float32),
-            target_acceptance=args.target_accept, adapt_mass=False)
+        ks = jax.random.split(key, 2)
+        return {"weights": jax.random.normal(ks[0], (chains, d, k),
+                                             jnp.float32),
+                "bias": jax.random.normal(ks[1], (chains, k), jnp.float32)}
 
-    t0 = time.time()
-    warmres = warm(key)
-    jax.block_until_ready(warmres.step_size)
-    warm_s = time.time() - t0
+    resuming = (args.resume and args.checkpoint
+                and _os.path.exists(args.checkpoint))
+    if resuming:
+        # warmup is SKIPPED: the checkpoint carries the adapted per-chain
+        # step sizes (sample_batched_streaming loads them over these
+        # placeholders) and the chain states; only a state template with
+        # the right shapes is needed here (one dataset pass)
+        warm_state = nuts_batched.batched_init(laplace_E0(key), batched_vag)
+        warm_step_size = jnp.full((chains,), args.step_size, jnp.float32)
+        warm_s = 0.0
+    else:
+        @jax.jit
+        def warm(key):
+            st = nuts_batched.batched_init(
+                laplace_E0(jax.random.fold_in(key, 0)), batched_vag)
+            return run_warmup(
+                kernel, st, jax.random.fold_in(key, 1), args.warmup,
+                initial_step_size=jnp.full((chains,), args.step_size,
+                                           jnp.float32),
+                target_acceptance=args.target_accept, adapt_mass=False)
+
+        t0 = time.time()
+        warmres = warm(key)
+        jax.block_until_ready(warmres.step_size)
+        warm_s = time.time() - t0
+        warm_state = warmres.state
+        warm_step_size = warmres.step_size
 
     def to_param(pos_e):
         # whitened (C, T, ...) draws -> parameter space, one chain at a time
@@ -313,21 +314,32 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, logdensity, key):
         mode = "a" if (args.resume and args.checkpoint) else "w"
         backend_cm = HDF5Backend(args.save, mode=mode)
     else:
+        if args.resume or args.checkpoint:
+            # the in-memory backend starts empty every process: a resumed
+            # run would return only the tail chunks as if they were the
+            # full posterior
+            raise SystemExit("--checkpoint/--resume require --save (a "
+                             "persistent backend holds the earlier draws)")
         backend_cm = _MemBackend()
 
     t0 = time.time()
     with backend_cm as b:
         _, appended, infos = sample_batched_streaming(
-            kernel, warmres.state, warmres.step_size, inv_mass,
+            kernel, warm_state, warm_step_size, inv_mass,
             jax.random.fold_in(key, 2), b, num_samples=args.samples,
             chunk_size=chunk, transform=to_param,
             checkpoint_path=args.checkpoint, resume=args.resume)
         stored = b.read()
     run_s = time.time() - t0
 
+    # rate over the draws produced THIS session (a resumed run restores
+    # earlier draws from the file; they must not inflate the rate)
+    session_draws = min(len(infos) * chunk, appended)
     draws = {kk: np.swapaxes(v, 0, 1) for kk, v in stored.items()}
     extra = {"sampler": "batched-nuts", "warmup_s": round(warm_s, 2),
-             "draws_per_sec": round(chains * appended / max(run_s, 1e-9), 1)}
+             "resumed": bool(resuming),
+             "draws_per_sec": round(
+                 chains * session_draws / max(run_s, 1e-9), 1)}
     if infos:
         extra.update({
             "mean_tree_depth": round(
@@ -390,10 +402,14 @@ def cmd_mnist_nuts(args):
             cache_dir=os.path.abspath(cache_dir), provenance=provenance,
             seed=args.seed)
         adapt_mass = False
-        positions = jax.vmap(
-            lambda k: metric.sample_position(k, qmap)
-        )(jax.random.split(key, args.chains))
-        jax.block_until_ready(positions)
+        if args.per_chain_nuts:
+            # Laplace chain init in parameter space — only the per-chain
+            # path consumes it (the batched path draws its own e ~ N(0, I)
+            # whitened init, which is the identical distribution)
+            positions = jax.vmap(
+                lambda k: metric.sample_position(k, qmap)
+            )(jax.random.split(key, args.chains))
+            jax.block_until_ready(positions)
         setup_s = time.time() - t0
 
     if metric is not None and not args.per_chain_nuts:

@@ -172,6 +172,12 @@ def sample_posterior_streaming(
             step_sizes = extras["step_size"]
             inv_mass = extras["inv_mass"]
             resumed = True
+            if appended < num_samples and appended % chunk_size != 0:
+                raise ValueError(
+                    f"resume draw counter {appended} is not a multiple of "
+                    f"chunk_size {chunk_size}: chunk keys are per-chunk-"
+                    f"index, so a different chunk size changes the draw "
+                    f"sequence — use the original chunk size")
             # crash-between-append-and-checkpoint recovery: drop any draws
             # past the checkpoint's counter so the resumed chunk sequence
             # (fold_in(sample_key, i)) lines up with the file contents
@@ -207,7 +213,8 @@ def sample_posterior_streaming(
         return jax.vmap(one)(states, ks, step_sizes, inv_mass)
 
     n_chunks = -(-num_samples // chunk_size)
-    for i in range(appended // chunk_size, n_chunks):
+    start = n_chunks if appended >= num_samples else appended // chunk_size
+    for i in range(start, n_chunks):
         states, pos = run_chunk(states, jax.random.fold_in(sample_key, i))
         take = min(chunk_size, num_samples - appended)
         # (chains, chunk, ...) -> (chunk, chains, ...), draws leading
@@ -249,11 +256,16 @@ def sample_batched_streaming(
     e.g. unwhitening Kronecker-metric draws back to parameter space.
 
     PRNG: per-(draw, chain) keys derived as split(fold_in(key, chunk), n)
-    — draws are identical for any chunk_size partition of the same total.
-    Checkpoint/resume semantics match sample_posterior_streaming (backend
-    truncated to the checkpoint counter on resume).  Returns (final_states,
-    num_appended, info_summaries) — info_summaries is a list (one entry per
-    chunk run) of the kernel info pytree averaged over (chunk, chains):
+    — the draw sequence therefore depends on the chunking, and a resumed
+    run MUST use the same chunk_size as the original (enforced: resuming at
+    a draw count that is not a chunk boundary raises).  The checkpoint also
+    persists the (adapted) per-chain step sizes, so callers can skip warmup
+    entirely on resume and pass placeholder step_sizes — the saved ones
+    take precedence.  Checkpoint/resume semantics otherwise match
+    sample_posterior_streaming (backend truncated to the checkpoint counter
+    on resume).  Returns (final_states, num_appended_total,
+    info_summaries) — info_summaries is a list (one entry per chunk run
+    THIS session) of the kernel info pytree averaged over (chunk, chains):
     cheap scalar diagnostics (acceptance, tree depth, divergences) without
     spooling the full info arrays.
     """
@@ -266,8 +278,16 @@ def sample_batched_streaming(
         if os.path.exists(checkpoint_path):
             from ..io.checkpoint import load_checkpoint
 
-            states, key, appended, _ = load_checkpoint(
-                checkpoint_path, states)
+            states, key, appended, extras = load_checkpoint(
+                checkpoint_path, states,
+                extras_like={"step_size": step_sizes})
+            step_sizes = extras["step_size"]
+            if appended < num_samples and appended % chunk_size != 0:
+                raise ValueError(
+                    f"resume draw counter {appended} is not a multiple of "
+                    f"chunk_size {chunk_size}: resuming with a different "
+                    f"chunk size would silently change/duplicate the draw "
+                    f"sequence — use the original chunk size")
             if hasattr(backend, "truncate"):
                 backend.truncate(appended)
 
@@ -294,7 +314,10 @@ def sample_batched_streaming(
 
     info_summaries = []
     n_chunks = -(-num_samples // chunk_size)
-    for i in range(appended // chunk_size, n_chunks):
+    # a fully-completed run resumes as a no-op (no zero-take chunk that
+    # would advance the checkpointed states past the last appended draw)
+    start = n_chunks if appended >= num_samples else appended // chunk_size
+    for i in range(start, n_chunks):
         states, block, info_mean = run_chunk(
             states, jax.random.fold_in(key, i))
         take = min(chunk_size, num_samples - appended)
@@ -305,5 +328,6 @@ def sample_batched_streaming(
         if checkpoint_path is not None:
             from ..io.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, states, key=key, step=appended)
+            save_checkpoint(checkpoint_path, states, key=key, step=appended,
+                            extras={"step_size": step_sizes})
     return states, appended, info_summaries

@@ -435,6 +435,55 @@ def cached_gn_setup(X, y_onehot, model, alpha: float,
     return metric, aux, qmap, False
 
 
+def make_whitened_fused_vag(model, metric: Metric, qmap, batch,
+                            use_pallas=None):
+    """Chain-batched value+grad of the WHITENED log posterior
+    e -> logpost(qmap + unwhiten(e)) — the composition every whitened
+    driver needs (bench.py, the mnist-nuts CLI, scripts/probe_nuts.py share
+    this single definition).
+
+    On TPU (or use_pallas=True) the fused Pallas GLM kernel serves all
+    chains with one dataset pass per call and the gradient chains through
+    the transposed (exact, linear) unwhiten map.  Returns
+    (batched_vag, batched_grad): ``batched_grad`` is the cheaper
+    fwd_full=False variant whose value output is too bf16-noisy for an MH
+    accept (grad-only leapfrog steps; hmc.build_batched_kernel's grad_fn) —
+    None on the non-Pallas fallback (plain vmapped autodiff)."""
+    e_example = jax.tree_util.tree_map(jnp.zeros_like, qmap)
+    unwhiten_t = jax.linear_transpose(metric.unwhiten, e_example)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        from .pallas_glm import split_bf16_input
+
+        X, _ = batch
+        x_split = split_bf16_input(X)
+        fused_q = model.make_fused_value_and_grad(batch, x_split=x_split)
+        fused_g = model.make_fused_value_and_grad(batch, x_split=x_split,
+                                                  fwd_full=False)
+
+        def whitened(fused):
+            def f(E):
+                dQ = jax.vmap(metric.unwhiten)(E)
+                Q = jax.tree_util.tree_map(lambda m, dq: m[None] + dq,
+                                           qmap, dQ)
+                val, G = fused(Q)
+                return val, jax.vmap(lambda g: unwhiten_t(g)[0])(G)
+            return f
+
+        return whitened(fused_q), whitened(fused_g)
+
+    from .tree import tree_add
+
+    logdensity = model.make_logdensity(batch=batch)
+
+    def logdensity_e(e):
+        return logdensity(tree_add(qmap, metric.unwhiten(e)))
+
+    return jax.vmap(jax.value_and_grad(logdensity_e)), None
+
+
 def natural_gradient_map(logdensity_fn, metric: Metric, init_params,
                          num_steps: int = 50, learning_rate: float = 1.0):
     """MAP estimation by natural-gradient ascent: q += lr * M^-1 grad.

@@ -31,9 +31,7 @@ def main():
     from dropout_hamiltonian_montecarlo_tpu.models import Softmax
     from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
         cached_gn_setup,
-    )
-    from dropout_hamiltonian_montecarlo_tpu.ops.pallas_glm import (
-        split_bf16_input,
+        make_whitened_fused_vag,
     )
 
     chains, d, k = 128, 784, 10
@@ -47,15 +45,7 @@ def main():
     print(f"setup cache hit: {hit}", file=sys.stderr)
 
     e_ex = {"weights": jnp.zeros((d, k)), "bias": jnp.zeros((k,))}
-    unwhiten_t = jax.linear_transpose(metric.unwhiten, e_ex)
-    x_split = split_bf16_input(X)
-    fused_q = model.make_fused_value_and_grad((X, y), x_split=x_split)
-
-    def batched_vag(E):
-        dQ = jax.vmap(metric.unwhiten)(E)
-        Q = jax.tree_util.tree_map(lambda m, dq: m[None] + dq, qmap, dQ)
-        val, G = fused_q(Q)
-        return val, jax.vmap(lambda g: unwhiten_t(g)[0])(G)
+    batched_vag, _ = make_whitened_fused_vag(model, metric, qmap, (X, y))
 
     kernel = nuts_batched.build_batched_kernel(batched_vag,
                                                max_tree_depth=max_depth)

@@ -204,3 +204,60 @@ def test_streaming_collection_cli(tmp_path):
     with h5py.File(f, "r") as h:
         x = h["x"][:]
     assert x.shape == (40, 2, 2)  # (draws, chains, dim), appended in chunks
+
+
+def test_batched_streaming_resume_exact_and_guards(tmp_path):
+    """sample_batched_streaming resume semantics: interrupted+resumed run
+    equals the uninterrupted one (step sizes restored from the checkpoint,
+    placeholders ignored); resuming mid-run with a different chunk size
+    raises; resuming a completed run is a no-op (no zero-take chunk
+    advancing the checkpointed states)."""
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.inference.sampling import (
+        sample_batched_streaming,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.models import MVNGaussian
+
+    dim, chains = 3, 4
+    model = MVNGaussian(jnp.zeros(dim), jnp.eye(dim) + 0.3)
+    logdensity = model.make_logdensity()
+    vag = jax.vmap(jax.value_and_grad(logdensity))
+    kernel = hmc.build_batched_kernel(vag, 4)
+    positions = {"x": jax.random.normal(jax.random.key(0), (chains, dim))}
+    states = hmc.batched_init(positions, vag)
+    step_sizes = jnp.full((chains,), 0.4, jnp.float32)
+    inv_mass = jax.tree_util.tree_map(jnp.ones_like, positions)
+    key = jax.random.key(1)
+
+    def run(path, ckpt, num, ss, resume=False):
+        mode = "a" if resume else "w"
+        with HDF5Backend(path, mode=mode) as b:
+            _, appended, _ = sample_batched_streaming(
+                kernel, states, ss, inv_mass, key, b, num_samples=num,
+                chunk_size=10, checkpoint_path=ckpt, resume=resume)
+            return b.read(), appended
+
+    full, _ = run(str(tmp_path / "f.h5"), str(tmp_path / "f.ckpt"), 40,
+                  step_sizes)
+
+    p, c = str(tmp_path / "p.h5"), str(tmp_path / "p.ckpt")
+    run(p, c, 20, step_sizes)
+    # resume with PLACEHOLDER step sizes: the checkpointed ones must win
+    part, appended = run(p, c, 40, jnp.full((chains,), 99.0), resume=True)
+    assert appended == 40
+    np.testing.assert_array_equal(part["x"], full["x"])
+
+    # different chunk size mid-run -> hard error, not silent corruption
+    run(p, c, 20, step_sizes)  # reset to 20 draws... (fresh file, ckpt=20)
+    with HDF5Backend(p, mode="a") as b:
+        with pytest.raises(ValueError, match="chunk_size"):
+            sample_batched_streaming(
+                kernel, states, step_sizes, inv_mass, key, b,
+                num_samples=40, chunk_size=15, checkpoint_path=c,
+                resume=True)
+
+    # resuming a COMPLETED run appends nothing and leaves the file intact
+    done, appended = run(str(tmp_path / "f.h5"), str(tmp_path / "f.ckpt"),
+                         40, jnp.full((chains,), 99.0), resume=True)
+    assert appended == 40
+    np.testing.assert_array_equal(done["x"], full["x"])
