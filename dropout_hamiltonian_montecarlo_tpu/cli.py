@@ -229,7 +229,7 @@ class _MemBackend:
                 for k in names}
 
 
-def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, logdensity, key):
+def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, key):
     """Config 3's default execution path: lockstep chain-batched NUTS in
     whitened Kronecker-metric coordinates, every leaf of every chain's tree
     through ONE fused value+grad (the Pallas GLM kernel on TPU — same
@@ -419,7 +419,7 @@ def cmd_mnist_nuts(args):
         # kernel on TPU), vs per-chain autodiff under vmap (~45x slower at
         # MNIST scale, VERDICT r3 weak #1)
         out = _run_mnist_nuts_batched(args, model, metric, qmap, X, y,
-                                      logdensity, key)
+                                      key)
         draws, streamed, compile_s, run_s, extra = out
     else:
         kernel = nuts.build_kernel(logdensity, max_tree_depth=args.max_depth,
