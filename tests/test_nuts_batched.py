@@ -166,3 +166,36 @@ def test_batched_matches_per_chain_nuts_statistically():
     xp = np.asarray(run_per_chain(jax.random.key(7))["x"]).reshape(-1, 3)
     np.testing.assert_allclose(xb.mean(0), xp.mean(0), atol=0.25)
     np.testing.assert_allclose(xb.std(0), xp.std(0), atol=0.3)
+
+
+def test_batched_nuts_marginal_distribution_ks():
+    """Distribution-level check (beyond moments): pooled batched-NUTS draws
+    from a correlated MVN match the analytic marginals — Kolmogorov-Smirnov
+    statistic of the standardized draws against N(0,1) within the
+    finite-ESS tolerance on every coordinate."""
+    import scipy.stats
+
+    chains, draws = 16, 500
+    logd, vag, state, inv_mass = _setup(chains, jax.random.key(8))
+    kernel = nuts_batched.build_batched_kernel(vag, max_tree_depth=8)
+    step_sizes = jnp.full((chains,), 0.45, jnp.float32)
+
+    @jax.jit
+    def run(key):
+        def body(s, k):
+            ns, _ = kernel(k, s, step_sizes, inv_mass)
+            return ns, ns.position
+
+        _, pos = jax.lax.scan(body, state, jax.random.split(key, draws))
+        return pos
+
+    x = np.asarray(run(jax.random.key(9))["x"])          # (draws, chains, 3)
+    burn = 50
+    flat = x[burn:].reshape(-1, 3)
+    # standardize with the TRUE target moments (MU, COV)
+    z = (flat - np.asarray(MU)) / np.sqrt(np.diag(np.asarray(COV)))
+    for j in range(3):
+        ks = scipy.stats.kstest(z[:, j], "norm").statistic
+        # autocorrelated draws: threshold calibrated to ~ESS of this run,
+        # far below what any systematic sampler bias would produce
+        assert ks < 0.05, (j, ks)
