@@ -64,7 +64,8 @@ class Softmax(Model):
                                   interpret: bool = False,
                                   bwd_3pass: bool = False,
                                   fwd_full: bool = True,
-                                  x_split=None):
+                                  x_split=None,
+                                  include_prior: bool = True):
         """Chain-batched fused log-posterior value+grad via the Pallas TPU
         kernel (ops/pallas_glm.py): params leaves carry a leading chain axis
         ({'weights': (C,D,K), 'bias': (C,K)}), returns ((C,), batched grads)
@@ -76,7 +77,9 @@ class Softmax(Model):
         ``fwd_full=False`` builds the cheap grad-only variant (single-pass
         forward logits): use as the ``grad_fn`` of
         hmc.build_batched_kernel's lazy-value trajectory — its value output
-        is too noisy for MH accepts."""
+        is too noisy for MH accepts.  ``include_prior=False`` returns the
+        likelihood-only value/grads for data-parallel composition (psum the
+        outputs over the data mesh axis, add the prior once outside)."""
         from ..ops.pallas_glm import softmax_value_and_grad, split_bf16_input
 
         X, y = batch
@@ -88,6 +91,7 @@ class Softmax(Model):
                 None, y, params["weights"], params["bias"], float(self.alpha),
                 tile_rows=tile_rows, interpret=interpret, bwd_3pass=bwd_3pass,
                 x_split=x_split, fwd_full=fwd_full,
+                include_prior=include_prior,
             )
             return value, {"weights": gw, "bias": gb}
 

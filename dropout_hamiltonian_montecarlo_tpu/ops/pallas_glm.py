@@ -219,6 +219,7 @@ def softmax_value_and_grad(
     bwd_3pass: bool = False,
     x_split: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     fwd_full: bool = True,
+    include_prior: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused log-posterior value + gradient for all chains in one X pass.
 
@@ -230,6 +231,10 @@ def softmax_value_and_grad(
     ``fwd_full=False`` drops the forward correction passes (single-pass bf16
     logits): the gradient keeps grad quality but the returned value is too
     noisy for an MH accept — use only for grad-only leapfrog steps.
+    ``include_prior=False`` returns the LIKELIHOOD-only value/grads — the
+    data-parallel composition point: each shard runs the kernel on its local
+    rows, the outputs psum over the data mesh axis, and the (replicated)
+    prior is added exactly once outside the psum.
     """
     if x_split is None:
         x_split = split_bf16_input(X)
@@ -294,6 +299,9 @@ def softmax_value_and_grad(
     )(*inputs)
 
     gw, gb = unfold_chain_grads(gw2, gb2, K)
+
+    if not include_prior:
+        return value[0], gw, gb
 
     # Gaussian-prior terms, exact f32, fused by XLA (elementwise, O(C*D*K))
     nparam = jnp.float32(D * K + K)

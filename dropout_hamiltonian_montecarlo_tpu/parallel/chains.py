@@ -72,6 +72,9 @@ def sample_batched_sharded(
     num_samples: int,
     mesh: Mesh,
     axis: str = "chains",
+    data: Params = None,
+    data_axis: str = "data",
+    kernel_factory: Callable = None,
 ):
     """Shard the FLAGSHIP chain-batched path (hmc.build_batched_kernel — the
     fused one-dataset-pass-per-leapfrog-step kernel the headline bench runs,
@@ -85,6 +88,21 @@ def sample_batched_sharded(
     in dryrun_multichip), unlike per-shard fold_in schemes whose results
     depend on the mesh shape.
 
+    DATA PARALLELISM (``data`` + ``kernel_factory``): when the dataset is
+    too large to replicate per chip, pass the global batch tuple as ``data``
+    (its example axis is laid over ``data_axis``) and a
+    ``kernel_factory(local_batch) -> batched_kernel`` that builds the kernel
+    on each shard's LOCAL rows with a psum'd value_and_grad — e.g.
+    ``jax.vmap``-over-chains of parallel.data.make_sharded_value_and_grad
+    evaluated at the full local shard (full batch => likelihood scale 1, so
+    psum over ``data_axis`` reconstructs the exact full-batch posterior).
+    Per-(draw, chain) keys replicate along the data axis, so every data
+    shard of a chain row takes identical momentum/accept draws and chain
+    states stay replicated across ``data_axis`` by construction — the
+    composition is numerically identical to the replicated-dataset run up
+    to psum reduction order (asserted in tests/test_parallel.py and
+    dryrun_multichip stage (f)).
+
     Returns (final_states, positions, infos) with positions leaves shaped
     (C, num_samples, ...) laid out across the mesh on the chain axis.
     """
@@ -94,9 +112,12 @@ def sample_batched_sharded(
         lambda k: jax.random.split(k, n_chains)
     )(jax.random.split(key, num_samples))
 
-    def run_block(draw_keys_blk, states_blk, ss_blk, im_blk):
+    def run_block(draw_keys_blk, states_blk, ss_blk, im_blk, *data_blk):
+        kernel = (kernel_factory(data_blk[0]) if kernel_factory is not None
+                  else batched_kernel)
+
         def body(s, ks):
-            ns, info = batched_kernel(ks, s, ss_blk, im_blk)
+            ns, info = kernel(ks, s, ss_blk, im_blk)
             return ns, (ns.position, info)
 
         final, (pos, infos) = jax.lax.scan(body, states_blk, draw_keys_blk)
@@ -105,11 +126,20 @@ def sample_batched_sharded(
         return (final, jax.tree_util.tree_map(swap, pos),
                 jax.tree_util.tree_map(swap, infos))
 
+    in_specs = [P(None, axis), P(axis), P(axis), P(axis)]
+    extra = ()
+    if data is not None:
+        if kernel_factory is None:
+            raise ValueError("data sharding needs a kernel_factory that "
+                             "builds the psum'd kernel on the local shard")
+        in_specs.append(P(data_axis))
+        extra = (data,)
+
     sharded = jax.shard_map(
         run_block,
         mesh=mesh,
-        in_specs=(P(None, axis), P(axis), P(axis), P(axis)),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    return sharded(draw_keys, states, step_sizes, inv_mass)
+    return sharded(draw_keys, states, step_sizes, inv_mass, *extra)

@@ -342,3 +342,37 @@ def test_lazy_value_kernel_matches_standard():
     np.testing.assert_allclose(np.asarray(a_cheap), np.asarray(a_std),
                                atol=0.05)
     assert bool(jnp.all(jnp.isfinite(f_cheap.logdensity)))
+
+
+def test_fused_include_prior_false_data_parallel_composition():
+    """include_prior=False is the data-parallel composition point: kernel on
+    two disjoint row shards, outputs summed (the psum), prior added ONCE —
+    must equal the single full-data include_prior=True call exactly (the
+    prior terms are pure XLA f32 arithmetic outside the kernel)."""
+    X, Y, W, b = _data(jax.random.key(4))
+    model = Softmax(dim=D, n_classes=K, alpha=ALPHA)
+
+    v_full, gw_full, gb_full = softmax_value_and_grad(
+        X, Y, W, b, ALPHA, tile_rows=128, interpret=True, bwd_3pass=True)
+
+    h = X.shape[0] // 2
+    parts = [softmax_value_and_grad(
+        X[i:j], Y[i:j], W, b, ALPHA, tile_rows=128, interpret=True,
+        bwd_3pass=True, include_prior=False)
+        for i, j in ((0, h), (h, X.shape[0]))]
+    v = parts[0][0] + parts[1][0]
+    gw = parts[0][1] + parts[1][1]
+    gb = parts[0][2] + parts[1][2]
+    # prior, exactly once (same closed form the wrapper adds)
+    nparam = D * K + K
+    sq = jnp.sum(W * W, axis=(1, 2)) + jnp.sum(b * b, axis=1)
+    v = v + 0.5 * nparam * jnp.log(ALPHA / (2 * jnp.pi)) - 0.5 * ALPHA * sq
+    gw = gw - ALPHA * W
+    gb = gb - ALPHA * b
+
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_full),
+                               rtol=2e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_full),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gb_full),
+                               rtol=1e-4, atol=1e-4)

@@ -247,6 +247,67 @@ def test_sgmcmc_data_parallel_chains_mesh_exact():
                                rtol=1e-5)
 
 
+@requires_multidevice
+def test_batched_kernel_data_parallel_full_batch_parity():
+    """The FLAGSHIP chain-batched HMC kernel under a (chains, data) mesh
+    with the dataset sharded and the FULL-batch value/grad psum'd across
+    data shards (sample_batched_sharded's kernel_factory path) is
+    numerically identical to the replicated-dataset batched run: full-batch
+    gradients are deterministic and the per-(draw, chain) keys replicate
+    along the data axis, so only psum reduction order can differ."""
+    from dropout_hamiltonian_montecarlo_tpu.parallel import (
+        sample_batched_sharded,
+    )
+
+    n, d, k, chains, draws = 64, 8, 3, 8, 15
+    key = jax.random.key(0)
+    kx, kp = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d))
+    y = one_hot(jax.random.randint(kx, (n,), 0, k), k)
+    model = Softmax(dim=d, n_classes=k, alpha=0.5)
+
+    positions = jax.vmap(model.init_params)(jax.random.split(kp, chains))
+    step_sizes = jnp.full((chains,), 1e-2, jnp.float32)
+    inv_mass = jax.tree_util.tree_map(jnp.ones_like, positions)
+    rkey = jax.random.key(3)
+
+    # replicated-dataset reference
+    logdensity = model.make_logdensity(batch=(X, y))
+    batched_vag = jax.vmap(jax.value_and_grad(logdensity))
+    kernel_rep = hmc.build_batched_kernel(batched_vag, 4)
+    states = hmc.batched_init(positions, batched_vag)
+
+    mesh_c = make_mesh(num_chain_shards=8, num_data_shards=1)
+    _, pos_rep, infos_rep = jax.jit(
+        lambda st: sample_batched_sharded(
+            kernel_rep, st, step_sizes, inv_mass, rkey, draws, mesh_c)
+    )(states)
+
+    # data-parallel: full-batch psum'd value_and_grad on each shard's rows
+    mesh_cd = make_mesh(num_chain_shards=4, num_data_shards=2)
+    vag_local = make_sharded_value_and_grad(model, data_size=n)
+
+    def kernel_factory(local_batch):
+        def bvag(Q):
+            return jax.vmap(lambda q: vag_local(q, local_batch))(Q)
+
+        return hmc.build_batched_kernel(bvag, 4)
+
+    _, pos_dp, infos_dp = jax.jit(
+        lambda st: sample_batched_sharded(
+            None, st, step_sizes, inv_mass, rkey, draws, mesh_cd,
+            data=(X, y), kernel_factory=kernel_factory)
+    )(states)
+
+    for a, b in zip(jax.tree_util.tree_leaves(pos_dp),
+                    jax.tree_util.tree_leaves(pos_rep)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(infos_dp.acceptance_prob),
+                               np.asarray(infos_rep.acceptance_prob),
+                               rtol=0, atol=1e-4)
+
+
 def _dp_mlp_setup(p_drop, key):
     from dropout_hamiltonian_montecarlo_tpu.inference import sgmcmc
     from dropout_hamiltonian_montecarlo_tpu.models import DropoutMLP
