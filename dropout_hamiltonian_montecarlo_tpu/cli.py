@@ -92,7 +92,12 @@ def _run_chains(args, init_fn, kernel, positions, key, adapt_mass=True):
         from .io import HDF5Backend
 
         t0 = time.time()
-        mode = "a" if (args.resume and args.checkpoint) else "w"
+        # append mode ONLY when a checkpoint actually exists: after a crash
+        # before the first checkpoint write, a --resume rerun must start the
+        # file fresh or the re-warmed run would append on top of the stale
+        # chunk (duplicated draws feeding diagnostics)
+        mode = "a" if (args.resume and args.checkpoint
+                       and os.path.exists(args.checkpoint)) else "w"
         with HDF5Backend(args.save, mode=mode) as b:
             sample_posterior_streaming(
                 init_fn, kernel, positions, key, b,
@@ -224,6 +229,8 @@ class _MemBackend:
     def read(self):
         import numpy as np
 
+        if not self._blocks:
+            return {}
         names = self._blocks[0].keys()
         return {k: np.concatenate([b[k] for b in self._blocks])
                 for k in names}
@@ -311,8 +318,10 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, key):
     if args.save:
         from .io import HDF5Backend
 
-        mode = "a" if (args.resume and args.checkpoint) else "w"
-        backend_cm = HDF5Backend(args.save, mode=mode)
+        # append mode ONLY when actually resuming (checkpoint exists): see
+        # _run_chains — a crash before the first checkpoint write must not
+        # leave a stale chunk under a fresh run
+        backend_cm = HDF5Backend(args.save, mode="a" if resuming else "w")
     else:
         if args.resume or args.checkpoint:
             # the in-memory backend starts empty every process: a resumed
@@ -333,8 +342,11 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, key):
     run_s = time.time() - t0
 
     # rate over the draws produced THIS session (a resumed run restores
-    # earlier draws from the file; they must not inflate the rate)
-    session_draws = min(len(infos) * chunk, appended)
+    # earlier draws from the file; they must not inflate the rate) — the
+    # session ran the LAST len(infos) chunks, whose final take may be partial
+    n_chunks = -(-args.samples // chunk)
+    takes = [min(chunk, args.samples - i * chunk) for i in range(n_chunks)]
+    session_draws = sum(takes[n_chunks - len(infos):]) if infos else 0
     draws = {kk: np.swapaxes(v, 0, 1) for kk, v in stored.items()}
     extra = {"sampler": "batched-nuts", "warmup_s": round(warm_s, 2),
              "resumed": bool(resuming),

@@ -259,9 +259,9 @@ def sample_batched_streaming(
     — the draw sequence therefore depends on the chunking, and a resumed
     run MUST use the same chunk_size as the original (enforced: resuming at
     a draw count that is not a chunk boundary raises).  The checkpoint also
-    persists the (adapted) per-chain step sizes, so callers can skip warmup
-    entirely on resume and pass placeholder step_sizes — the saved ones
-    take precedence.  Checkpoint/resume semantics otherwise match
+    persists the (adapted) per-chain step sizes AND the inverse-mass pytree,
+    so callers can skip warmup entirely on resume and pass placeholder
+    step_sizes/inv_mass — the saved ones take precedence.  Checkpoint/resume semantics otherwise match
     sample_posterior_streaming (backend truncated to the checkpoint counter
     on resume).  Returns (final_states, num_appended_total,
     info_summaries) — info_summaries is a list (one entry per chunk run
@@ -280,8 +280,10 @@ def sample_batched_streaming(
 
             states, key, appended, extras = load_checkpoint(
                 checkpoint_path, states,
-                extras_like={"step_size": step_sizes})
+                extras_like={"step_size": step_sizes,
+                             "inv_mass": inv_mass})
             step_sizes = extras["step_size"]
+            inv_mass = extras["inv_mass"]
             if appended < num_samples and appended % chunk_size != 0:
                 raise ValueError(
                     f"resume draw counter {appended} is not a multiple of "
@@ -329,5 +331,6 @@ def sample_batched_streaming(
             from ..io.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, states, key=key, step=appended,
-                            extras={"step_size": step_sizes})
+                            extras={"step_size": step_sizes,
+                                    "inv_mass": inv_mass})
     return states, appended, info_summaries

@@ -155,6 +155,13 @@ def run_tempered_smc(
     )
     if mutation not in ("hmc", "sghmc"):
         raise ValueError(f"unknown mutation {mutation!r}")
+    if mutation == "hmc" and (kernel_builder is None or init_builder is None):
+        missing = [n for n, v in (("kernel_builder", kernel_builder),
+                                  ("init_builder", init_builder)) if v is None]
+        raise ValueError(
+            f"mutation='hmc' requires {' and '.join(missing)} (e.g. "
+            f"kernel_builder=lambda ld: hmc.build_kernel(ld, num_steps), "
+            f"init_builder=lambda ld: (lambda p: hmc.init(p, ld)))")
     if mutation == "sghmc":
         if log_likelihood_batch_fn is None or data is None or batch_size is None:
             raise ValueError("sghmc mutation needs log_likelihood_batch_fn, "
