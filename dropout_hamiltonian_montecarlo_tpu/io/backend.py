@@ -96,6 +96,139 @@ def _walk(group, prefix=""):
             yield name
 
 
+def local_chain_block(leaf, chain_axis: int = 1):
+    """Extract THIS process's addressable chain rows from a global jax.Array.
+
+    ``leaf`` is a global array sharded along ``chain_axis`` (possibly over
+    multiple local devices).  Returns (block, global_indices): the local rows
+    concatenated in global order along ``chain_axis``, and the global chain
+    indices they correspond to.  For a plain numpy / fully-addressable array
+    this is the identity (all chains, indices 0..C-1).
+    """
+    shards = getattr(leaf, "addressable_shards", None)
+    if shards is None or getattr(leaf, "is_fully_addressable", True):
+        arr = np.asarray(leaf)
+        return arr, np.arange(arr.shape[chain_axis])
+    seen = {}
+    for s in shards:
+        sl = s.index[chain_axis]
+        start = 0 if sl.start is None else int(sl.start)
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    starts = sorted(seen)
+    block = np.concatenate([seen[st] for st in starts], axis=chain_axis)
+    idx = np.concatenate([
+        np.arange(st, st + seen[st].shape[chain_axis]) for st in starts
+    ])
+    return block, idx
+
+
+class ShardedHDF5Backend:
+    """Per-process shard writer for multi-host runs.
+
+    The reference writes per-worker HDF5 files and aggregates afterwards
+    (/root/reference/hamiltonian/inference/cpu/sgld_multicore.py:86-89,
+    cpu/hmc.py:132-138).  Multi-host global arrays are NOT fully addressable
+    — ``np.asarray`` on them raises — so each process appends ONLY the chain
+    rows it holds to its own ``<base>_<process>.h5`` file; the global chain
+    indices are stored once per file (dataset ``__chain_indices__``) so
+    ``assemble_shards`` can reassemble draws in global chain order.
+    Single-process this degenerates to one file holding every chain, so the
+    same driver code serves both.  Blocks must be (draws, chains, ...) with
+    the chain axis sharded (the layout the streaming drivers append).
+    """
+
+    def __init__(self, base_path: str, mode: str = "a",
+                 chain_axis: int = 1):
+        import jax
+
+        self.process_index = jax.process_index()
+        root, ext = os.path.splitext(base_path)
+        self.path = f"{root}_{self.process_index}{ext or '.h5'}"
+        self.chain_axis = chain_axis
+        self._b = HDF5Backend(self.path, mode)
+        self._indices = None
+
+    def append(self, positions: Params) -> None:
+        def to_local(leaf):
+            block, idx = local_chain_block(leaf, self.chain_axis)
+            if self._indices is None:
+                self._indices = idx
+            elif not np.array_equal(self._indices, idx):
+                raise ValueError(
+                    f"chain ownership changed between appends: "
+                    f"{self._indices} -> {idx}")
+            return block
+
+        self._b.append(jax.tree_util.tree_map(to_local, positions))
+        if "__chain_indices__" not in self._b._f:
+            self._b._f.create_dataset("__chain_indices__",
+                                      data=self._indices)
+            self._b._f.flush()
+
+    def read(self) -> Dict[str, np.ndarray]:
+        return {k: v for k, v in self._b.read().items()
+                if k != "__chain_indices__"}
+
+    def num_draws(self) -> int:
+        names = [n for n in _walk(self._b._f) if n != "__chain_indices__"]
+        return int(self._b._f[names[0]].shape[0]) if names else 0
+
+    def truncate(self, n: int) -> None:
+        for name in _walk(self._b._f):
+            if name == "__chain_indices__":
+                continue
+            ds = self._b._f[name]
+            if ds.shape[0] > n:
+                ds.resize(n, axis=0)
+        self._b._f.flush()
+
+    def close(self) -> None:
+        self._b.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def shard_paths(base_path: str, num_processes: int) -> List[str]:
+    """The per-process file names ShardedHDF5Backend(base_path) writes."""
+    root, ext = os.path.splitext(base_path)
+    return [f"{root}_{p}{ext or '.h5'}" for p in range(num_processes)]
+
+
+def assemble_shards(paths: Sequence[str],
+                    chain_axis: int = 1) -> Dict[str, np.ndarray]:
+    """Reassemble per-process shard files into global (draws, chains, ...)
+    arrays, chains restored to GLOBAL order via each file's stored
+    ``__chain_indices__`` (the multi-host counterpart of the reference's
+    host-side posterior concatenation, cpu/hmc_multicore.py:33-38)."""
+    import h5py
+
+    blocks: Dict[str, list] = {}
+    indices = []
+    for p in paths:
+        with h5py.File(p, "r") as f:
+            idx = np.asarray(f["__chain_indices__"])
+            indices.append(idx)
+            for name in _walk(f):
+                if name == "__chain_indices__":
+                    continue
+                blocks.setdefault(name, []).append(np.asarray(f[name]))
+    all_idx = np.concatenate(indices)
+    order = np.argsort(all_idx)
+    if not np.array_equal(all_idx[order], np.arange(all_idx.size)):
+        raise ValueError(f"shard files do not cover a contiguous chain "
+                         f"range: indices {np.sort(all_idx)}")
+    out = {}
+    for name, parts in blocks.items():
+        cat = np.concatenate(parts, axis=chain_axis)
+        out[name] = np.take(cat, order, axis=chain_axis)
+    return out
+
+
 def posterior_mean(paths: Sequence[str]) -> Dict[str, np.ndarray]:
     """Weighted posterior mean across sample files (the reference's
     backend_mean, cpu/hmc.py:132-138, generalized to unequal draw counts)."""
@@ -106,6 +239,8 @@ def posterior_mean(paths: Sequence[str]) -> Dict[str, np.ndarray]:
     for p in paths:
         with h5py.File(p, "r") as f:
             for name in _walk(f):
+                if name == "__chain_indices__":
+                    continue
                 arr = np.asarray(f[name])
                 sums[name] = sums.get(name, 0.0) + arr.sum(axis=0)
                 counts[name] = counts.get(name, 0) + arr.shape[0]

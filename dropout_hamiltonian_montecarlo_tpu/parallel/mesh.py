@@ -55,20 +55,34 @@ def init_distributed(
 
     On Cloud TPU all three arguments are auto-detected from the metadata
     server; pass them explicitly elsewhere (e.g. GPU clusters or tests).
+
+    NOTE: must run before anything touches the backend (jax.devices(),
+    jax.process_count(), any computation) — initialize() raises after
+    backend init.  Already-initialized detection therefore uses
+    jax.distributed.is_initialized(), which does NOT touch the backend
+    (calling jax.process_count() here would itself initialize a
+    single-process backend and doom the initialize() call — the bug the
+    2-process test caught, tests/test_multiprocess.py).
     """
-    if jax.process_count() > 1:
-        return jax.process_index()          # already initialized
+    if jax.distributed.is_initialized():
+        return jax.process_index()
     if num_processes is not None and num_processes <= 1:
         return 0
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except (ValueError, RuntimeError):
-        # single-process run with no coordinator: stay local
-        return 0
+    if coordinator_address is None and num_processes is None:
+        # auto-detection environment (Cloud TPU / SLURM); fall back to
+        # single-process when there is nothing to detect
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return 0
+        return jax.process_index()
+    # explicit coordinator: failures here are real — do not mask them as a
+    # silent single-process fallback
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
     return jax.process_index()
 
 

@@ -261,3 +261,52 @@ def test_batched_streaming_resume_exact_and_guards(tmp_path):
                          40, jnp.full((chains,), 99.0), resume=True)
     assert appended == 40
     np.testing.assert_array_equal(done["x"], full["x"])
+
+
+def test_sharded_backend_single_process_roundtrip(tmp_path):
+    """ShardedHDF5Backend degenerates to one file single-process; shard
+    assembly restores global chain order from the stored indices."""
+    import numpy as np
+    from dropout_hamiltonian_montecarlo_tpu.io import (
+        ShardedHDF5Backend,
+        assemble_shards,
+        posterior_mean,
+        shard_paths,
+    )
+
+    rng = np.random.default_rng(0)
+    block = {"w": rng.normal(size=(5, 4, 3)).astype(np.float32)}
+    base = str(tmp_path / "draws.h5")
+    with ShardedHDF5Backend(base, mode="w") as b:
+        b.append(block)
+        b.append(block)
+        path0 = b.path
+    assert path0 == shard_paths(base, 1)[0]
+    out = assemble_shards([path0])
+    np.testing.assert_array_equal(
+        out["w"], np.concatenate([block["w"], block["w"]]))
+    # posterior_mean skips the chain-index bookkeeping dataset
+    pm = posterior_mean([path0])
+    np.testing.assert_allclose(pm["w"], block["w"].mean(axis=0), rtol=1e-6)
+
+
+def test_assemble_shards_reorders_chains(tmp_path):
+    """Files written by different processes hold disjoint chain ranges;
+    assembly places them back at their GLOBAL indices regardless of file
+    order."""
+    import h5py
+    import numpy as np
+    from dropout_hamiltonian_montecarlo_tpu.io import assemble_shards
+
+    full = np.arange(3 * 6 * 2, dtype=np.float32).reshape(3, 6, 2)
+    paths = []
+    # write the two shards out of order (chains 3..5 first)
+    for i, sl in enumerate([slice(3, 6), slice(0, 3)]):
+        p = str(tmp_path / f"draws_{i}.h5")
+        with h5py.File(p, "w") as f:
+            f.create_dataset("w", data=full[:, sl])
+            f.create_dataset("__chain_indices__",
+                             data=np.arange(sl.start, sl.stop))
+        paths.append(p)
+    out = assemble_shards(paths)
+    np.testing.assert_array_equal(out["w"], full)
