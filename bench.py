@@ -82,6 +82,12 @@ USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
 # trajectory-time regime where this posterior's ESS already saturates).
 BENCH_SAMPLER = os.environ.get("BENCH_SAMPLER", "hmc")
 NUTS_DEPTH = int(os.environ.get("BENCH_NUTS_DEPTH", "4"))
+# BENCH_CHAIN_SHARDS>1: lay the chain axis across that many devices and run
+# the sampling scan through parallel.chains.sample_batched_sharded (the pod
+# path; per-(draw, chain) keys + per-chain gauge-Gibbs keys keep results
+# blocking-independent).  Validated on the simulated 8-device CPU mesh; on
+# this box's single chip it stays 1.
+CHAIN_SHARDS = int(os.environ.get("BENCH_CHAIN_SHARDS", "1"))
 TARGET_ACCEPT = 0.65         # d^(-1/4) regime: bigger steps beat 0.8 here
 ALPHA = 1.0
 
@@ -245,21 +251,48 @@ def main():
             f"step size median={np.median(ss):.4f} min={ss.min():.4f} "
             f"max={ss.max():.4f}")
 
-    @jax.jit
-    def sample(states, step_sizes, inv_mass, key):
-        st = batched_init_fn(states.position, batched_vag)
-        keys = jax.random.split(key, NUM_SAMPLES)
+    if CHAIN_SHARDS > 1:
+        if len(jax.devices()) < CHAIN_SHARDS:
+            raise SystemExit(f"BENCH_CHAIN_SHARDS={CHAIN_SHARDS} needs "
+                             f">= that many devices")
+        from dropout_hamiltonian_montecarlo_tpu.parallel import (
+            sample_batched_sharded,
+        )
+        from dropout_hamiltonian_montecarlo_tpu.parallel.mesh import (
+            make_mesh,
+        )
 
-        def body(s, k):
-            ns, info = kernel_b(k, s, step_sizes, inv_mass)
-            ns = gauge_gibbs(jax.random.fold_in(k, 1), ns)
-            return ns, (ns.position, info)
+        bench_mesh = make_mesh(num_chain_shards=CHAIN_SHARDS,
+                               devices=jax.devices()[:CHAIN_SHARDS])
+        log(f"chain axis sharded over {CHAIN_SHARDS} devices")
 
-        _, (pos, infos) = jax.lax.scan(body, st, keys)
-        # (T, C, ...) -> (C, T, ...): chains leading, draws second
-        swap = lambda x: jnp.swapaxes(x, 0, 1)
-        return (jax.tree_util.tree_map(swap, pos),
-                jax.tree_util.tree_map(swap, infos))
+        def gibbs_post(chain_keys, s):
+            gk = jax.vmap(lambda k: jax.random.fold_in(k, 1))(chain_keys)
+            return gauge_gibbs(gk, s)
+
+        @jax.jit
+        def sample(states, step_sizes, inv_mass, key):
+            st = batched_init_fn(states.position, batched_vag)
+            _, pos, infos = sample_batched_sharded(
+                kernel_b, st, step_sizes, inv_mass, key, NUM_SAMPLES,
+                bench_mesh, post_step=gibbs_post)
+            return pos, infos
+    else:
+        @jax.jit
+        def sample(states, step_sizes, inv_mass, key):
+            st = batched_init_fn(states.position, batched_vag)
+            keys = jax.random.split(key, NUM_SAMPLES)
+
+            def body(s, k):
+                ns, info = kernel_b(k, s, step_sizes, inv_mass)
+                ns = gauge_gibbs(jax.random.fold_in(k, 1), ns)
+                return ns, (ns.position, info)
+
+            _, (pos, infos) = jax.lax.scan(body, st, keys)
+            # (T, C, ...) -> (C, T, ...): chains leading, draws second
+            swap = lambda x: jnp.swapaxes(x, 0, 1)
+            return (jax.tree_util.tree_map(swap, pos),
+                    jax.tree_util.tree_map(swap, infos))
 
     @jax.jit
     def ess_of(e_draws):
@@ -352,6 +385,7 @@ def main():
             "setup_from_cache": from_cache,
             "amortized_warmup_seconds": round(t_warm, 1),
             "path": "pallas" if use_pallas else "xla",
+            "chain_shards": CHAIN_SHARDS,
             "sampler": BENCH_SAMPLER,
             "num_integration_steps": round(mean_evals, 2),
             "lockstep_evals_per_draw": round(executed_evals, 2),

@@ -243,6 +243,8 @@ def sample_batched_streaming(
     transform: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
+    mesh=None,
+    mesh_axis: str = "chains",
 ):
     """Chunked streaming driver for the chain-BATCHED kernels
     (hmc.build_batched_kernel / nuts_batched.build_batched_kernel): one jit'd
@@ -268,6 +270,13 @@ def sample_batched_streaming(
     THIS session) of the kernel info pytree averaged over (chunk, chains):
     cheap scalar diagnostics (acceptance, tree depth, divergences) without
     spooling the full info arrays.
+
+    ``mesh``: optional jax.sharding.Mesh — shard the chain axis over
+    ``mesh_axis`` (shard_map per chunk; both batched kernels accept the
+    per-chain key arrays this passes).  The per-(draw, chain) key
+    construction is identical to the unsharded path, so the draw sequence
+    does not depend on the blocking (parity tested in
+    tests/test_parallel.py::test_batched_streaming_sharded_parity).
     """
     num_chains = step_sizes.shape[0]
     appended = 0
@@ -293,26 +302,67 @@ def sample_batched_streaming(
             if hasattr(backend, "truncate"):
                 backend.truncate(appended)
 
-    @jax.jit
-    def run_chunk(states, chunk_key):
-        draw_keys = jax.vmap(
-            lambda k: jax.random.split(k, num_chains)
-        )(jax.random.split(chunk_key, chunk_size))      # (chunk, C) keys
+    def chunk_scan(states_blk, draw_keys_blk, ss_blk, im_blk):
+        """One chunk's scan over a chain BLOCK (the whole batch when
+        unsharded, a device's block under shard_map).  transform is applied
+        per block (it is per-chain: unwhitening etc.), draws axis leading on
+        the returned positions."""
 
         def body(s, ks):
-            ns, info = kernel(ks, s, step_sizes, inv_mass)
+            ns, info = kernel(ks, s, ss_blk, im_blk)
             return ns, (ns.position, info)
 
-        final, (pos, infos) = jax.lax.scan(body, states, draw_keys)
-        info_mean = jax.tree_util.tree_map(
-            lambda x: jnp.mean(jnp.asarray(x, jnp.float32)), infos)
-        # (chunk, C, ...) -> (C, chunk, ...) for the transform, then draws
-        # leading for the backend append
+        final, (pos, infos) = jax.lax.scan(body, states_blk, draw_keys_blk)
         pos = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), pos)
         if transform is not None:
             pos = transform(pos)
-        return final, jax.tree_util.tree_map(
-            lambda x: jnp.swapaxes(x, 0, 1), pos), info_mean
+        return (final,
+                jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), pos),
+                infos)
+
+    if mesh is None:
+        @jax.jit
+        def run_chunk(states, chunk_key):
+            draw_keys = jax.vmap(
+                lambda k: jax.random.split(k, num_chains)
+            )(jax.random.split(chunk_key, chunk_size))  # (chunk, C) keys
+            final, pos, infos = chunk_scan(states, draw_keys,
+                                           step_sizes, inv_mass)
+            info_mean = jax.tree_util.tree_map(
+                lambda x: jnp.mean(jnp.asarray(x, jnp.float32)), infos)
+            return final, pos, info_mean
+    else:
+        # chain axis sharded over mesh[mesh_axis]: each device scans its
+        # chain block through the same kernel.  Per-(draw, chain) keys are
+        # built OUTSIDE the shard_map and sharded along the chain axis, so
+        # the draw sequence is numerically identical to the unsharded run
+        # (the sample_batched_sharded PRNG contract; parity asserted in
+        # tests/test_parallel.py) — a pod slice is a flag, not a rewrite.
+        from jax.sharding import PartitionSpec as P
+
+        if num_chains % mesh.shape[mesh_axis] != 0:
+            raise ValueError(
+                f"num_chains {num_chains} % mesh[{mesh_axis!r}]="
+                f"{mesh.shape[mesh_axis]} != 0")
+
+        sharded_scan = jax.shard_map(
+            chunk_scan, mesh=mesh,
+            in_specs=(P(mesh_axis), P(None, mesh_axis), P(mesh_axis),
+                      P(mesh_axis)),
+            out_specs=(P(mesh_axis), P(None, mesh_axis), P(None, mesh_axis)),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run_chunk(states, chunk_key):
+            draw_keys = jax.vmap(
+                lambda k: jax.random.split(k, num_chains)
+            )(jax.random.split(chunk_key, chunk_size))
+            final, pos, infos = sharded_scan(states, draw_keys,
+                                             step_sizes, inv_mass)
+            info_mean = jax.tree_util.tree_map(
+                lambda x: jnp.mean(jnp.asarray(x, jnp.float32)), infos)
+            return final, pos, info_mean
 
     info_summaries = []
     n_chunks = -(-num_samples // chunk_size)

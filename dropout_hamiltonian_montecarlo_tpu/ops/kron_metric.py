@@ -330,9 +330,22 @@ def make_whitened_gauge_gibbs(metric: Metric, aux, qmap):
         e = state.position
         g = state.logdensity_grad
         c = e["bias"].shape[0]
-        kw, kb = jax.random.split(key)
-        eps_w = jax.random.normal(kw, (c, m_w.shape[0]), jnp.float32)
-        eps_b = jax.random.normal(kb, (c,), jnp.float32)
+        if jnp.ndim(key) == 0:
+            kw, kb = jax.random.split(key)
+            eps_w = jax.random.normal(kw, (c, m_w.shape[0]), jnp.float32)
+            eps_b = jax.random.normal(kb, (c,), jnp.float32)
+        else:
+            # (C,) per-chain keys (the sharded path): each chain's stream
+            # depends only on its own key, so the Gibbs draws are
+            # independent of how the chain axis is blocked across devices
+            # (the single-key form draws a (C, D) block whose content
+            # shifts with the block size)
+            def draw(k):
+                kw, kb = jax.random.split(k)
+                return (jax.random.normal(kw, (m_w.shape[0],), jnp.float32),
+                        jax.random.normal(kb, (), jnp.float32))
+
+            eps_w, eps_b = jax.vmap(draw)(key)
 
         old_w = e["weights"][:, :, j0]                          # (C, D)
         old_b = e["bias"][:, j0]                                # (C,)

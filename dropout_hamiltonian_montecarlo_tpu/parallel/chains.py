@@ -75,6 +75,7 @@ def sample_batched_sharded(
     data: Params = None,
     data_axis: str = "data",
     kernel_factory: Callable = None,
+    post_step: Callable = None,
 ):
     """Shard the FLAGSHIP chain-batched path (hmc.build_batched_kernel — the
     fused one-dataset-pass-per-leapfrog-step kernel the headline bench runs,
@@ -103,6 +104,12 @@ def sample_batched_sharded(
     to psum reduction order (asserted in tests/test_parallel.py and
     dryrun_multichip stage (f)).
 
+    ``post_step(chain_keys, state) -> state``: optional per-draw state map
+    applied after the kernel (e.g. the whitened gauge Gibbs resampler,
+    ops/kron_metric.make_whitened_gauge_gibbs) — it receives the draw's
+    (c_block,) per-chain keys and MUST derive any randomness from them
+    per-chain (fold_in), or the result would depend on the blocking.
+
     Returns (final_states, positions, infos) with positions leaves shaped
     (C, num_samples, ...) laid out across the mesh on the chain axis.
     """
@@ -118,6 +125,8 @@ def sample_batched_sharded(
 
         def body(s, ks):
             ns, info = kernel(ks, s, ss_blk, im_blk)
+            if post_step is not None:
+                ns = post_step(ks, ns)
             return ns, (ns.position, info)
 
         final, (pos, infos) = jax.lax.scan(body, states_blk, draw_keys_blk)

@@ -495,3 +495,45 @@ def test_batched_nuts_sharded_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=2e-3)
     assert pos_s["weights"].shape == (chains, draws, d, k)
+
+
+@requires_multidevice
+def test_batched_streaming_sharded_parity(tmp_path):
+    """sample_batched_streaming with a chains mesh (the CLI --chain-shards
+    path) appends EXACTLY the draws of the unsharded run — same chunked
+    per-(draw, chain) keys, shard_map only changes the blocking (VERDICT r4
+    item 4)."""
+    from dropout_hamiltonian_montecarlo_tpu.inference import nuts_batched
+    from dropout_hamiltonian_montecarlo_tpu.inference.sampling import (
+        sample_batched_streaming,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.io import HDF5Backend
+
+    n, d, k, chains = 96, 8, 3, 16
+    key = jax.random.key(0)
+    kx, kp = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d))
+    y = one_hot(jax.random.randint(kx, (n,), 0, k), k)
+    model = Softmax(dim=d, n_classes=k, alpha=1.0)
+    logdensity = model.make_logdensity(batch=(X, y))
+    batched_vag = jax.vmap(jax.value_and_grad(logdensity))
+    kernel_b = nuts_batched.build_batched_kernel(batched_vag,
+                                                 max_tree_depth=3)
+    positions = jax.vmap(model.init_params)(jax.random.split(kp, chains))
+    step_sizes = jnp.full((chains,), 5e-2, jnp.float32)
+    inv_mass = jax.tree_util.tree_map(jnp.ones_like, positions)
+
+    def run(mesh, path):
+        states = nuts_batched.batched_init(positions, batched_vag)
+        with HDF5Backend(path, mode="w") as b:
+            sample_batched_streaming(
+                kernel_b, states, step_sizes, inv_mass, jax.random.key(3),
+                b, num_samples=20, chunk_size=8, mesh=mesh)
+            return b.read()
+
+    ref = run(None, str(tmp_path / "ref.h5"))
+    sh = run(make_mesh(), str(tmp_path / "sharded.h5"))
+    assert set(ref) == set(sh)
+    for name in ref:
+        np.testing.assert_allclose(sh[name], ref[name], rtol=0, atol=2e-3)
+        assert ref[name].shape[:2] == (20, chains)
