@@ -79,9 +79,18 @@ USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
 # BENCH_SAMPLER=nuts: the lockstep chain-batched NUTS kernel instead of
 # fixed-L HMC — adaptive trajectories on the same fused path + gauge Gibbs.
 # BENCH_NUTS_DEPTH bounds the doubling (4 => <=15-leaf trees, the
-# trajectory-time regime where this posterior's ESS already saturates).
+# trajectory-time regime where this posterior's ESS already saturates), or
+# "auto": warm up at an exploratory cap of 6 (trees stop at their natural
+# U-turn) and derive the sampling cap from the OBSERVED trajectory lengths
+# — truncate at ~0.55 of the natural U-turn length, the measured
+# ESS-per-second optimum on this whitened near-Gaussian posterior
+# (r5 bench curve: cap 3 = 0.23 L_uturn -> 1787 ESS/s, cap 4 = 0.48 ->
+# 2074, cap 5 ~ natural -> see RESULTS.md; fixed-L HMC's tuned L=12 is
+# likewise 0.57 of the ~21-step U-turn half-period pi/eps at eps 0.148).
 BENCH_SAMPLER = os.environ.get("BENCH_SAMPLER", "hmc")
-NUTS_DEPTH = int(os.environ.get("BENCH_NUTS_DEPTH", "4"))
+_NUTS_DEPTH_RAW = os.environ.get("BENCH_NUTS_DEPTH", "4")
+NUTS_AUTO = _NUTS_DEPTH_RAW == "auto"
+NUTS_DEPTH = 6 if NUTS_AUTO else int(_NUTS_DEPTH_RAW)
 # BENCH_CHAIN_SHARDS>1: lay the chain axis across that many devices and run
 # the sampling scan through parallel.chains.sample_batched_sharded (the pod
 # path; per-(draw, chain) keys + per-chain gauge-Gibbs keys keep results
@@ -251,6 +260,52 @@ def main():
             f"step size median={np.median(ss):.4f} min={ss.min():.4f} "
             f"max={ss.max():.4f}")
 
+    warmup_median_leaves = None
+    if BENCH_SAMPLER == "nuts" and NUTS_AUTO:
+        # derive the sampling depth cap from the warmup's natural tree
+        # sizes (warmup ran uncapped-in-practice at depth 6): truncate at
+        # ~0.55 of the median U-turn trajectory (see the BENCH_NUTS_DEPTH
+        # comment for the measured curve this optimizes)
+        from dropout_hamiltonian_montecarlo_tpu.inference import nuts_batched
+
+        winfos, _ = warmres.info
+        leaves_w = np.asarray(winfos.num_integration_steps, np.float64)
+        warmup_median_leaves = float(np.median(leaves_w[-100:]))
+        auto_cap = int(np.clip(
+            np.floor(np.log2(max(0.55 * warmup_median_leaves, 3.0)) + 1e-9),
+            2, NUTS_DEPTH))
+        log(f"auto depth cap: warmup median leaves "
+            f"{warmup_median_leaves:.0f} -> cap {auto_cap} "
+            f"({2 ** auto_cap - 1} leaves max)")
+        kernel_b = nuts_batched.build_batched_kernel(
+            batched_vag, max_tree_depth=auto_cap)
+        num_steps = 2 ** auto_cap - 1
+        nuts_cap = auto_cap
+
+        # short dual-averaging refinement ON the capped kernel: the
+        # exploratory warmup tuned eps for natural-U-turn trees, but the
+        # truncated sampler accepts more at the same eps (no far-end
+        # leaves), so eps re-adapts upward here — measured r5: skipping
+        # this leaves ~11% ESS/s on the table (1842 vs ~2070)
+        refine_steps = min(100, NUM_WARMUP)
+
+        @jax.jit
+        def refine(state, ss, key):
+            return run_warmup(kernel_b, state, key, refine_steps,
+                              initial_step_size=ss,
+                              target_acceptance=TARGET_ACCEPT,
+                              adapt_mass=False)
+
+        t0 = time.time()
+        rres = refine(warm_state, warm_step_size, jax.random.key(4))
+        jax.block_until_ready(rres.step_size)
+        t_warm += time.time() - t0
+        warm_state, warm_step_size = rres.state, rres.step_size
+        rs = np.asarray(warm_step_size)
+        log(f"refined step size at cap {auto_cap}: median={np.median(rs):.4f}")
+    else:
+        nuts_cap = NUTS_DEPTH
+
     if CHAIN_SHARDS > 1:
         if len(jax.devices()) < CHAIN_SHARDS:
             raise SystemExit(f"BENCH_CHAIN_SHARDS={CHAIN_SHARDS} needs "
@@ -387,6 +442,10 @@ def main():
             "path": "pallas" if use_pallas else "xla",
             "chain_shards": CHAIN_SHARDS,
             "sampler": BENCH_SAMPLER,
+            "nuts_depth_cap": nuts_cap if BENCH_SAMPLER == "nuts" else None,
+            "nuts_depth_mode": ("auto" if NUTS_AUTO else "fixed")
+            if BENCH_SAMPLER == "nuts" else None,
+            "warmup_median_leaves": warmup_median_leaves,
             "num_integration_steps": round(mean_evals, 2),
             "lockstep_evals_per_draw": round(executed_evals, 2),
             "warmup": "chees" if use_chees else "dual-averaging",

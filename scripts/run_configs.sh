@@ -45,11 +45,14 @@ run config2-logistic-hmc logistic-hmc --chains 32 --samples 1000 --warmup 300
 
 # config 3: MNIST softmax, full-batch NUTS (Kron metric), 128 chains x 1000
 # draws — the lockstep chain-BATCHED kernel (every leaf = one fused Pallas
-# pass for all chains).  Streaming chunks keep each device program short and
-# the draw buffer bounded: the monolithic warmup+sampling program at this
-# scale faults the tunneled chip (observed UNAVAILABLE device error).
+# pass for all chains).  Streaming chunks keep each device program short
+# (the monolithic warmup+sampling program at this scale faults the tunneled
+# chip); WITHOUT --save the chunks stay on device and ESS/R-hat/predictive
+# are computed there in one program (r5: cuts run_s 879s -> ~293s and the
+# read-back diagnostics pass entirely; pass --save FILE to also spool the
+# draws, identical numbers).
 run config3-mnist-nuts mnist-nuts --chains 128 --samples 1000 --warmup 150 \
-    --max-depth 6 --save /tmp/config3_samples.h5 --stream-chunk 50
+    --max-depth 6 --stream-chunk 50
 
 # config 3b: the same NUTS pipeline on REAL bundled pixels (sklearn digits)
 # — non-synthetic provenance check of metric + sampler

@@ -282,3 +282,63 @@ def test_cached_gn_setup_roundtrip(tmp_path):
         X, y, model, alpha=2.0, newton_steps=20, cache_dir=str(tmp_path),
         provenance="digits-test")
     assert not hit3
+
+
+def test_whitened_gauge_gibbs_per_chain_keys():
+    """The (C,) per-chain-key mode (the sharded post_step path) must keep
+    the exact analytic value/grad property, and each chain's draw must
+    depend only on its own key — permuting the keys permutes the draws."""
+    from dropout_hamiltonian_montecarlo_tpu.models import Softmax
+    from dropout_hamiltonian_montecarlo_tpu.ops.kron_metric import (
+        make_whitened_gauge_gibbs,
+        natural_gradient_map,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.ops.tree import tree_add
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.utils import one_hot
+
+    key = jax.random.key(0)
+    n, d, k, chains = 200, 8, 3, 4
+    kx, kw = jax.random.split(key)
+    X = jax.random.normal(kx, (n, d))
+    yi = jnp.argmax(X @ jax.random.normal(kw, (d, k)), -1)
+    Y = one_hot(yi, k)
+    model = Softmax(dim=d, n_classes=k, alpha=0.8)
+    logdensity = model.make_logdensity(batch=(X, Y))
+
+    metric0 = softmax_gauss_newton_metric(X, k, alpha=0.8)
+    qmap = natural_gradient_map(logdensity, metric0,
+                                model.init_params(key), num_steps=30)
+    probs = model.predict(qmap, X, prob=True)
+    metric, aux = softmax_gauss_newton_metric(X, k, alpha=0.8, probs=probs,
+                                              return_aux=True)
+
+    def logdensity_e(e):
+        return logdensity(tree_add(qmap, metric.unwhiten(e)))
+
+    batched_vag = jax.vmap(jax.value_and_grad(logdensity_e))
+    e0 = {
+        "weights": 0.5 * jax.random.normal(jax.random.key(1), (chains, d, k)),
+        "bias": 0.5 * jax.random.normal(jax.random.key(2), (chains, k)),
+    }
+    state = hmc.batched_init(e0, batched_vag)
+    gibbs = make_whitened_gauge_gibbs(metric, aux, qmap)
+
+    keys = jax.random.split(jax.random.key(3), chains)
+    new = gibbs(keys, state)
+    # exact analytic value/grad at the moved position
+    val_ref, grad_ref = batched_vag(new.position)
+    np.testing.assert_allclose(np.asarray(new.logdensity),
+                               np.asarray(val_ref), rtol=1e-4, atol=1e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(new.logdensity_grad),
+                    jax.tree_util.tree_leaves(grad_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-3)
+
+    # per-chain streams: reversing the key order reverses the gauge draws
+    rev = gibbs(keys[::-1], state)
+    j0 = int(np.argmin(np.asarray(aux["s_a"])))
+    np.testing.assert_allclose(
+        np.asarray(rev.position["weights"])[::-1, :, j0],
+        np.asarray(new.position["weights"])[:, :, j0],
+        rtol=0, atol=1e-6)
