@@ -450,6 +450,15 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, key):
             q = {kk: jnp.swapaxes(
                 jnp.concatenate([blk[kk] for blk in blocks]), 0, 1)
                 for kk in blocks[0]}
+            if mesh is not None and jax.default_backend() == "cpu":
+                # XLA:CPU's FFT thunk rejects the partitioned layout
+                # (RET_CHECK IsMonotonicWithDim0Major) — replicate the draw
+                # tensor for the diagnostics program on the simulated mesh;
+                # TPU runs keep the sharded layout
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                q = {kk: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, P())) for kk, v in q.items()}
             ess = jnp.concatenate([
                 effective_sample_size(q["weights"], block_size=512).ravel(),
                 effective_sample_size(q["bias"]).ravel()])
