@@ -37,7 +37,7 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_workload(mesh_c, mesh_cd):
+def run_workload(mesh_c, mesh_cd, workdir=None):
     """The shared validation workload; deterministic given the mesh SHAPES.
 
     Returns (gathered, global_positions):
@@ -120,6 +120,39 @@ def run_workload(mesh_c, mesh_cd):
         float(jnp.max(jnp.abs(a - b)))
         for a, b in zip(jax.tree_util.tree_leaves(g_dp),
                         jax.tree_util.tree_leaves(g_ref)))
+
+    # (d) the FULL multi-host config-3 composition: the chunked streaming
+    # driver over the multi-host chains mesh, spooling each chunk to
+    # per-process shard files, reassembled into global chain order — the
+    # end-to-end path a multi-host `mnist-nuts --chain-shards --save`
+    # would take (streaming keys are chunk-indexed, so this sequence is
+    # deliberately distinct from stage (a)'s).
+    if workdir is not None:
+        from dropout_hamiltonian_montecarlo_tpu.inference.sampling import (
+            sample_batched_streaming,
+        )
+        from dropout_hamiltonian_montecarlo_tpu.io import (
+            ShardedHDF5Backend,
+            assemble_shards,
+            shard_paths,
+        )
+
+        base = os.path.join(workdir, "stream.h5")
+        with ShardedHDF5Backend(base, mode="w", chain_axis=1) as b:
+            sample_batched_streaming(
+                kernel,
+                hmc.batched_init(
+                    jax.tree_util.tree_map(jnp.asarray, positions), vag),
+                jnp.asarray(step_sizes),
+                jax.tree_util.tree_map(jnp.asarray, inv_mass),
+                jax.random.key(9), b, num_samples=12, chunk_size=5,
+                mesh=mesh_c)
+        multihost_utils.sync_global_devices("stream-io-written")
+        streamed = assemble_shards(
+            shard_paths(base, jax.process_count()), chain_axis=1)
+        for name, arr in streamed.items():
+            gathered[f"streamed/{name}"] = arr
+
     return gathered, pos_global
 
 
@@ -166,7 +199,8 @@ def main():
     procs_in_order = [d.process_index for d in mesh_c.devices.ravel()]
     assert procs_in_order == sorted(procs_in_order), procs_in_order
 
-    gathered, pos_global = run_workload(mesh_c, mesh_cd)
+    gathered, pos_global = run_workload(mesh_c, mesh_cd,
+                                        workdir=args.outdir)
 
     # (c) per-process shard writing + reassembly (positions: chain axis 0)
     from dropout_hamiltonian_montecarlo_tpu.io import (

@@ -107,9 +107,14 @@ def test_two_process_distributed_parity(tmp_path):
 
     mesh_c = make_multihost_mesh(num_chain_shards=8)
     mesh_cd = make_multihost_mesh(num_chain_shards=4, num_data_shards=2)
-    ref, _ = run_workload(mesh_c, mesh_cd)
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    ref, _ = run_workload(mesh_c, mesh_cd, workdir=str(refdir))
 
-    for name in ("positions/weights", "positions/bias", "acceptance"):
+    # parity incl. the FULL multi-host streaming composition (streaming
+    # driver + mesh + per-process shard files, stage (d))
+    for name in ("positions/weights", "positions/bias", "acceptance",
+                 "streamed/weights", "streamed/bias"):
         diff = float(np.abs(result[name] - ref[name]).max())
         assert diff <= 2e-3, f"{name}: 2-process vs 1-process diff {diff}"
 
