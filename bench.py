@@ -271,9 +271,12 @@ def main():
         winfos, _ = warmres.info
         leaves_w = np.asarray(winfos.num_integration_steps, np.float64)
         warmup_median_leaves = float(np.median(leaves_w[-100:]))
-        auto_cap = int(np.clip(
-            np.floor(np.log2(max(0.55 * warmup_median_leaves, 3.0)) + 1e-9),
-            2, NUTS_DEPTH))
+        # nearest cap IN LEAF COUNT to the 0.55*L_uturn target (floor-in-
+        # log2 can undershoot the target by up to ~2x for medians far from
+        # a 2^k/0.55 boundary)
+        target_leaves = max(0.55 * warmup_median_leaves, 3.0)
+        auto_cap = min(range(2, NUTS_DEPTH + 1),
+                       key=lambda c: abs((2 ** c - 1) - target_leaves))
         log(f"auto depth cap: warmup median leaves "
             f"{warmup_median_leaves:.0f} -> cap {auto_cap} "
             f"({2 ** auto_cap - 1} leaves max)")
@@ -310,6 +313,10 @@ def main():
         if len(jax.devices()) < CHAIN_SHARDS:
             raise SystemExit(f"BENCH_CHAIN_SHARDS={CHAIN_SHARDS} needs "
                              f">= that many devices")
+        if NUM_CHAINS % CHAIN_SHARDS != 0:
+            raise SystemExit(
+                f"BENCH_CHAIN_SHARDS={CHAIN_SHARDS} must divide "
+                f"BENCH_CHAINS={NUM_CHAINS}")
         from dropout_hamiltonian_montecarlo_tpu.parallel import (
             sample_batched_sharded,
         )

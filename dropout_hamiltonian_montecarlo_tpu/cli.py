@@ -208,34 +208,6 @@ def cmd_logistic_hmc(args):
     print(json.dumps(agg))
 
 
-class _MemBackend:
-    """In-memory stand-in for HDF5Backend so the chunked batched drivers
-    serve the no---save case through the same streaming code path."""
-
-    def __init__(self):
-        self._blocks = []
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        pass
-
-    def append(self, block):
-        import numpy as np
-
-        self._blocks.append({k: np.asarray(v) for k, v in block.items()})
-
-    def read(self):
-        import numpy as np
-
-        if not self._blocks:
-            return {}
-        names = self._blocks[0].keys()
-        return {k: np.concatenate([b[k] for b in self._blocks])
-                for k in names}
-
-
 class _TeeDeviceBackend:
     """Streaming backend that KEEPS each appended chunk as device arrays
     (no device->host transfer) and optionally forwards it to a persistent
@@ -314,10 +286,10 @@ def _run_mnist_nuts_batched(args, model, metric, qmap, X, y, key):
         from .parallel import make_mesh
 
         ndev = len(jax.devices())
-        if ndev % n_shards != 0 or chains % n_shards != 0:
+        if ndev < n_shards or chains % n_shards != 0:
             raise SystemExit(
-                f"--chain-shards {n_shards} must divide both the device "
-                f"count ({ndev}) and --chains ({chains})")
+                f"--chain-shards {n_shards} needs >= that many devices "
+                f"(have {ndev}) and must divide --chains ({chains})")
         mesh = make_mesh(num_chain_shards=n_shards,
                          devices=jax.devices()[:n_shards])
 

@@ -285,14 +285,23 @@ def sample_batched_streaming(
         import os
 
         if os.path.exists(checkpoint_path):
+            import numpy as _np
+
             from ..io.checkpoint import load_checkpoint
 
+            # checkpoints from before inv_mass was persisted carry only
+            # step_size extras — resume them with the caller's inv_mass
+            # instead of KeyError'ing the run
+            with _np.load(checkpoint_path) as _d:
+                has_im = any(k.startswith("extra.inv_mass::")
+                             for k in _d.files)
+            extras_like = {"step_size": step_sizes}
+            if has_im:
+                extras_like["inv_mass"] = inv_mass
             states, key, appended, extras = load_checkpoint(
-                checkpoint_path, states,
-                extras_like={"step_size": step_sizes,
-                             "inv_mass": inv_mass})
+                checkpoint_path, states, extras_like=extras_like)
             step_sizes = extras["step_size"]
-            inv_mass = extras["inv_mass"]
+            inv_mass = extras.get("inv_mass", inv_mass)
             if appended < num_samples and appended % chunk_size != 0:
                 raise ValueError(
                     f"resume draw counter {appended} is not a multiple of "

@@ -147,7 +147,12 @@ class ShardedHDF5Backend:
         self.path = f"{root}_{self.process_index}{ext or '.h5'}"
         self.chain_axis = chain_axis
         self._b = HDF5Backend(self.path, mode)
-        self._indices = None
+        # a reopened (mode='a') shard file pins this process's chain
+        # ownership: append() validates the CURRENT run's addressable
+        # chains against it, so a mesh/process-layout change between runs
+        # raises instead of silently mis-attributing chains on reassembly
+        self._indices = (np.asarray(self._b._f["__chain_indices__"])
+                         if "__chain_indices__" in self._b._f else None)
 
     def append(self, positions: Params) -> None:
         def to_local(leaf):
@@ -156,8 +161,10 @@ class ShardedHDF5Backend:
                 self._indices = idx
             elif not np.array_equal(self._indices, idx):
                 raise ValueError(
-                    f"chain ownership changed between appends: "
-                    f"{self._indices} -> {idx}")
+                    f"chain ownership mismatch: shard file holds global "
+                    f"chains {self._indices.tolist()} but this append's "
+                    f"addressable chains are {idx.tolist()} — the mesh / "
+                    f"process layout differs from the earlier appends")
             return block
 
         self._b.append(jax.tree_util.tree_map(to_local, positions))

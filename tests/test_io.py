@@ -310,3 +310,47 @@ def test_assemble_shards_reorders_chains(tmp_path):
         paths.append(p)
     out = assemble_shards(paths)
     np.testing.assert_array_equal(out["w"], full)
+
+
+def test_batched_streaming_resume_legacy_checkpoint_without_inv_mass(
+        tmp_path):
+    """Checkpoints written before inv_mass was persisted (extras carry only
+    step_size) must still resume — the caller's inv_mass is used instead of
+    a KeyError (r5 review finding)."""
+    import numpy as np
+    from dropout_hamiltonian_montecarlo_tpu.inference import hmc
+    from dropout_hamiltonian_montecarlo_tpu.inference.sampling import (
+        sample_batched_streaming,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.io import HDF5Backend
+    from dropout_hamiltonian_montecarlo_tpu.io.checkpoint import (
+        save_checkpoint,
+    )
+    from dropout_hamiltonian_montecarlo_tpu.models import MVNGaussian
+
+    dim, chains = 3, 4
+    model = MVNGaussian(jnp.zeros(dim), jnp.eye(dim) + 0.3)
+    vag = jax.vmap(jax.value_and_grad(model.make_logdensity()))
+    kernel = hmc.build_batched_kernel(vag, 4)
+    positions = {"x": jax.random.normal(jax.random.key(0), (chains, dim))}
+    states = hmc.batched_init(positions, vag)
+    step_sizes = jnp.full((chains,), 0.4, jnp.float32)
+    inv_mass = jax.tree_util.tree_map(jnp.ones_like, positions)
+    key = jax.random.key(1)
+
+    path, ckpt = str(tmp_path / "d.h5"), str(tmp_path / "d.ckpt")
+    with HDF5Backend(path, mode="w") as b:
+        sample_batched_streaming(kernel, states, step_sizes, inv_mass, key,
+                                 b, num_samples=10, chunk_size=10)
+        first = b.read()
+    # legacy-format checkpoint: extras WITHOUT inv_mass
+    save_checkpoint(ckpt, states, key=key, step=10,
+                    extras={"step_size": step_sizes})
+    with HDF5Backend(path, mode="a") as b:
+        _, appended, _ = sample_batched_streaming(
+            kernel, states, step_sizes, inv_mass, key, b, num_samples=20,
+            chunk_size=10, checkpoint_path=ckpt, resume=True)
+        out = b.read()
+    assert appended == 20
+    np.testing.assert_array_equal(out["x"][:10], first["x"])
+    assert out["x"].shape[0] == 20
