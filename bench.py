@@ -67,14 +67,17 @@ BENCH_DATASET = os.environ.get("BENCH_DATASET", "mnist")
 # fixed trajectory length; BENCH_L overrides, BENCH_CHEES=1 instead tunes it
 # with the cross-chain ChEES criterion (inference/chees.py) during warmup.
 # Measured on the v5e chip (128 chains x 1000 draws, median ESS/s): L=7 (the
-# ChEES/ESJD optimum, eps 0.16, T 2.13) 3460; L=12: 3779; L=16: 3364.  The
-# kernel is compute-bound (~63k grad evals/s at every L), so ESS *per grad
-# eval* decides, and the whitened posterior's slight non-Gaussianity rewards
-# trajectories past the ESJD optimum: L=12 stays the default.  (Re-measured
-# r4 after fixing the ChEES log-T chain-rule factor: ChEES still lands on
-# L=7 at 3472 median ESS/s — the criterion genuinely prefers the ESJD point;
-# the gap to L=12 is the non-Gaussian tail, not an adaptation bug.)
-NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "12"))
+# ChEES/ESJD optimum, eps 0.16, T 2.13) 3460; L=11: 3829-3834 (r5, twice);
+# L=12: 3773-3782 (r3/r4/r5); L=13: 3678; L=16: 3364.  The kernel is
+# compute-bound (~65k grad evals/s at every L), so ESS *per grad eval*
+# decides, and the whitened posterior's slight non-Gaussianity rewards
+# trajectories past the ESJD optimum.  L=11 is the r5 median-ESS/s peak
+# (+1.5% over L=12) at a slightly fatter min tail (min ESS/s 3251 vs 3404)
+# — the headline metric is the median, so 11 is the default; set BENCH_L=12
+# to bias toward the min tail.  (ChEES after the r4 chain-rule fix still
+# lands on L=7 at 3472 — the criterion genuinely prefers the ESJD point;
+# the gap to L=11-12 is the non-Gaussian tail, not an adaptation bug.)
+NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "11"))
 USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
 # BENCH_SAMPLER=nuts: the lockstep chain-batched NUTS kernel instead of
 # fixed-L HMC — adaptive trajectories on the same fused path + gauge Gibbs.
