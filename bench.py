@@ -100,7 +100,15 @@ NUTS_DEPTH = 6 if NUTS_AUTO else int(_NUTS_DEPTH_RAW)
 # blocking-independent).  Validated on the simulated 8-device CPU mesh; on
 # this box's single chip it stays 1.
 CHAIN_SHARDS = int(os.environ.get("BENCH_CHAIN_SHARDS", "1"))
-TARGET_ACCEPT = 0.65         # d^(-1/4) regime: bigger steps beat 0.8 here
+# d^(-1/4) regime: bigger steps beat 0.8 here.  BENCH_TARGET_ACCEPT
+# overrides.  NUTS defaults LOWER (0.5): multinomial NUTS never rejects —
+# it always moves within the tree — so pushing eps past the MH-optimal
+# point keeps paying until the tree weights degenerate (r5 sweep at cap 4,
+# median ESS/s: 0.65 -> 2074, 0.55 -> 2261, 0.50 -> 2310, 0.42 -> 2285,
+# 0.35 -> 2154; zero divergences throughout).  HMC keeps 0.65: its accept
+# statistic IS an MH accept and rejected trajectories are wasted work.
+TARGET_ACCEPT = float(os.environ.get(
+    "BENCH_TARGET_ACCEPT", "0.5" if BENCH_SAMPLER == "nuts" else "0.65"))
 ALPHA = 1.0
 
 
@@ -274,10 +282,16 @@ def main():
         winfos, _ = warmres.info
         leaves_w = np.asarray(winfos.num_integration_steps, np.float64)
         warmup_median_leaves = float(np.median(leaves_w[-100:]))
-        # nearest cap IN LEAF COUNT to the 0.55*L_uturn target (floor-in-
-        # log2 can undershoot the target by up to ~2x for medians far from
-        # a 2^k/0.55 boundary)
-        target_leaves = max(0.55 * warmup_median_leaves, 3.0)
+        # nearest cap IN LEAF COUNT to the target trajectory (floor-in-log2
+        # can undershoot by up to ~2x for medians far from a 2^k boundary).
+        # The truncation fraction depends on the acceptance target: at high
+        # targets (small eps) trees overshoot the ESS optimum and 0.55x the
+        # natural U-turn wins (r5: natural 31 -> cap 4 beats 5, 2074 vs
+        # ~720); at low targets (<=0.55, big eps) the U-turn already lands
+        # at the optimum — truncating below it loses (r5 at target 0.5:
+        # natural 15, cap 4 = 2310 ESS/s vs cap 3 = 7 leaves, 1976).
+        frac = 1.0 if TARGET_ACCEPT <= 0.55 else 0.55
+        target_leaves = max(frac * warmup_median_leaves, 3.0)
         auto_cap = min(range(2, NUTS_DEPTH + 1),
                        key=lambda c: abs((2 ** c - 1) - target_leaves))
         log(f"auto depth cap: warmup median leaves "

@@ -980,10 +980,14 @@ def main(argv=None):
                    help="disable the Kronecker Gauss-Newton metric (plain "
                         "diagonal-mass NUTS; will not mix at MNIST scale)")
     p.add_argument("--target-accept", type=float, default=0.65,
-                   help="warmup acceptance target for the batched-NUTS path "
-                        "(0.65 = the d^(-1/4) large-step regime the bench "
-                        "uses; larger targets shrink eps and roughly double "
-                        "tree size per 0.15)")
+                   help="warmup acceptance target for the batched-NUTS "
+                        "path.  0.65 is robust across datasets; on the "
+                        "MNIST-scale whitened posterior 0.5 is the measured "
+                        "ESS/s optimum (r5 bench sweep 0.65/0.55/0.5/0.42/"
+                        "0.35 -> 2074/2261/2310/2285/2154 — multinomial "
+                        "NUTS never rejects, so bigger steps keep paying "
+                        "there), but on sklearn-digits 0.5 HALVES min ESS "
+                        "— sweep per posterior before lowering")
     p.add_argument("--chain-shards", type=int, default=1,
                    help=">1: lay the chain axis across this many devices "
                         "(shard_map; must divide the device count and "
