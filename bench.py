@@ -66,18 +66,27 @@ NUM_SAMPLES = int(os.environ.get("BENCH_DRAWS", "1000"))
 BENCH_DATASET = os.environ.get("BENCH_DATASET", "mnist")
 # fixed trajectory length; BENCH_L overrides, BENCH_CHEES=1 instead tunes it
 # with the cross-chain ChEES criterion (inference/chees.py) during warmup.
-# Measured on the v5e chip (128 chains x 1000 draws, median ESS/s): L=7 (the
-# ChEES/ESJD optimum, eps 0.16, T 2.13) 3460; L=11: 3829-3834 (r5, twice);
-# L=12: 3773-3782 (r3/r4/r5); L=13: 3678; L=16: 3364.  The kernel is
-# compute-bound (~65k grad evals/s at every L), so ESS *per grad eval*
-# decides, and the whitened posterior's slight non-Gaussianity rewards
-# trajectories past the ESJD optimum.  L=11 is the r5 median-ESS/s peak
-# (+1.5% over L=12) at a slightly fatter min tail (min ESS/s 3251 vs 3404)
-# — the headline metric is the median, so 11 is the default; set BENCH_L=12
-# to bias toward the min tail.  (ChEES after the r4 chain-rule fix still
-# lands on L=7 at 3472 — the criterion genuinely prefers the ESJD point;
-# the gap to L=11-12 is the non-Gaussian tail, not an adaptation bug.)
-NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "11"))
+# r5 swept the FULL (L, warmup acceptance target) surface on the v5e chip
+# (128 chains x 1000 draws, median ESS/s; the kernel is compute-bound at
+# ~65k grad evals/s everywhere, so ESS *per grad eval* decides):
+#
+#   L \ target   0.65   0.60   0.55   0.50   0.45
+#      8         3795          4484   4613
+#      9         3897          4606   4735   4526
+#     10         3895   4268   4537   4683
+#     11         3834   4229   4513   4542   4362
+#     12         3777   4176
+#   (0.65 column continues: L=7 3460, L=13 3678, L=16 3364)
+#
+# Bigger steps at FIXED L dominate the old 0.65-target row (+24%): each
+# draw travels farther for the same compute, and on this light-tailed
+# whitened posterior the energy error grows slowly (acceptance at target
+# 0.5 realizes ~0.54, zero divergences everywhere).  Default = (L=10,
+# target 0.5): median 4683 with min ESS/s 3940; BENCH_L=9 buys the last
+# ~1% of median (4735) at a 7% thinner min tail.  (ChEES after the r4
+# chain-rule fix lands on L=7/eps 0.16 ~ 3470 — it optimizes ESJD at the
+# old target; the surface optimum moves along the larger-eps diagonal.)
+NUM_INTEGRATION_STEPS = int(os.environ.get("BENCH_L", "10"))
 USE_CHEES = os.environ.get("BENCH_CHEES", "0") == "1"
 # BENCH_SAMPLER=nuts: the lockstep chain-batched NUTS kernel instead of
 # fixed-L HMC — adaptive trajectories on the same fused path + gauge Gibbs.
@@ -100,15 +109,14 @@ NUTS_DEPTH = 6 if NUTS_AUTO else int(_NUTS_DEPTH_RAW)
 # blocking-independent).  Validated on the simulated 8-device CPU mesh; on
 # this box's single chip it stays 1.
 CHAIN_SHARDS = int(os.environ.get("BENCH_CHAIN_SHARDS", "1"))
-# d^(-1/4) regime: bigger steps beat 0.8 here.  BENCH_TARGET_ACCEPT
-# overrides.  NUTS defaults LOWER (0.5): multinomial NUTS never rejects —
-# it always moves within the tree — so pushing eps past the MH-optimal
-# point keeps paying until the tree weights degenerate (r5 sweep at cap 4,
-# median ESS/s: 0.65 -> 2074, 0.55 -> 2261, 0.50 -> 2310, 0.42 -> 2285,
-# 0.35 -> 2154; zero divergences throughout).  HMC keeps 0.65: its accept
-# statistic IS an MH accept and rejected trajectories are wasted work.
-TARGET_ACCEPT = float(os.environ.get(
-    "BENCH_TARGET_ACCEPT", "0.5" if BENCH_SAMPLER == "nuts" else "0.65"))
+# warmup acceptance target, BENCH_TARGET_ACCEPT overrides.  0.5 for BOTH
+# samplers on this posterior (r5): the HMC (L, target) surface above peaks
+# at 0.5, and the NUTS sweep at cap 4 does too (0.65 -> 2074, 0.55 ->
+# 2261, 0.50 -> 2310, 0.42 -> 2285, 0.35 -> 2154; multinomial NUTS never
+# rejects, so bigger steps pay until the tree weights degenerate).  Zero
+# divergences at every measured point.  NOTE: posterior-specific — on
+# sklearn-digits 0.5 halves min ESS (the CLI keeps 0.65 for that reason).
+TARGET_ACCEPT = float(os.environ.get("BENCH_TARGET_ACCEPT", "0.5"))
 ALPHA = 1.0
 
 
